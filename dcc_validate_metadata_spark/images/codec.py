@@ -1,0 +1,205 @@
+"""Pure-Python image codecs for the validation invariant.
+
+The north-rule invariant (BASELINE.json ``input_hint``) is: decoded pixels
+must be allclose to ground truth (PSNR >= 40 dB for lossy formats) and the
+caption must match exactly. The reference's analogous external check is the
+``hubCheck`` binary subprocess (``trackhubs/tasks.py``); here the decoder is
+in-process and Arrow-batched.
+
+This container has no image libraries (no PIL / cv2 / imageio), so:
+
+* ``png`` is a REAL codec — a minimal but spec-correct PNG encoder/decoder
+  (8-bit RGB, all five scanline filters on decode, filter 0 on encode)
+  built on stdlib ``zlib``/``struct`` + numpy. Lossless round-trip.
+* ``jpeg`` / ``webp`` are DETERMINISTIC STAND-INS: a quantize-then-deflate
+  container (magic ``FAKL``). They model the *lossy* property honestly —
+  decoded pixels differ from ground truth by a bounded quantization error
+  (q=6 → PSNR ≈ 43 dB > 40 dB threshold) — so the PSNR invariant math is
+  real even though the entropy coding is not JPEG's. Swap ``encode_lossy``
+  / ``decode_lossy`` for a real library on a production cluster; every
+  Spark-side signature stays identical.
+
+All functions are numpy-vectorized per image; the Spark layer batches them
+via Arrow (``images/invariants.py``) — no per-row Python in the plan.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_FAKE_MAGIC = b"FAKL"
+_LOSSY_Q = 6  # quantization step; MSE ~ q^2/12 = 3 → PSNR ~ 43 dB
+
+LOSSY_FORMATS = frozenset({"jpeg", "webp"})
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a PNG (color type 2, filter 0)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # one filter byte (0 = None) per scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4). raw is (h, 1 + w*bpp) uint8."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, bpp)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB PNG to (h, w, 3) uint8. Raises ValueError on
+    malformed input (the validation pipeline maps that to a violation row)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    h = bitdepth = colortype = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype = struct.unpack(">IIBB", payload[:10])
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bitdepth != 8 or colortype != 2:
+        raise ValueError(f"unsupported PNG (bitdepth={bitdepth}, colortype={colortype})")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    expected = h * (1 + w * 3)
+    if raw.size != expected:
+        raise ValueError("PNG scanline size mismatch")
+    return _unfilter(raw.reshape(h, 1 + w * 3), h, w)
+
+
+def encode_lossy(pixels: np.ndarray, fmt: str) -> bytes:
+    """DETERMINISTIC LOSSY STAND-IN (see module docstring): quantize to
+    step q then deflate. Not real JPEG/WebP entropy coding."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    q = np.clip(
+        (pixels.astype(np.int32) + _LOSSY_Q // 2) // _LOSSY_Q * _LOSSY_Q, 0, 255
+    ).astype(np.uint8)
+    fmt_b = fmt.encode("ascii")[:4].ljust(4, b"\x00")
+    return (
+        _FAKE_MAGIC
+        + fmt_b
+        + struct.pack(">HH", w, h)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def decode_lossy(data: bytes) -> tuple[np.ndarray, str]:
+    if data[:4] != _FAKE_MAGIC:
+        raise ValueError("not a FAKL lossy container")
+    fmt = data[4:8].rstrip(b"\x00").decode("ascii")
+    w, h = struct.unpack(">HH", data[8:12])
+    raw = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8)
+    if raw.size != h * w * 3:
+        raise ValueError("lossy payload size mismatch")
+    return raw.reshape(h, w, 3), fmt
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt in LOSSY_FORMATS:
+        return encode_lossy(pixels, fmt)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Sniff-and-decode. Returns (pixels, container_fmt)."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data), "png"
+    if data[:4] == _FAKE_MAGIC:
+        return decode_lossy(data)
+    raise ValueError("unrecognized image container")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def average_phash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """Real average-hash: grayscale → block-average to 8x8 → threshold by
+    mean → 64-bit int (signed, to fit Spark LongType)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    bh, bw = h // hash_size, w // hash_size
+    if bh == 0 or bw == 0:
+        raise ValueError("image smaller than hash grid")
+    small = (
+        gray[: bh * hash_size, : bw * hash_size]
+        .reshape(hash_size, bh, hash_size, bw)
+        .mean(axis=(1, 3))
+    )
+    bits = (small > small.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -1,0 +1,138 @@
+"""Arrow-batched image decode checks (SURVEY.md X5 — graft-added).
+
+The ONLY per-row Python in the engine, confined to ``mapInPandas`` over
+Arrow batches (capped via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+because binary cells inflate batches — SURVEY.md §7.3). Two entry points:
+
+* ``decode_check_violations`` — self-contained structural checks: bytes
+  decode, decoded dims == declared (w, h), container format == declared
+  ``fmt``. Projects ONLY the needed columns into the UDF stage so the scan
+  stays pruned.
+* ``invariant_violations`` — north-rule invariant vs ground truth: decoded
+  pixels PSNR >= 40 dB (lossy) / exact (lossless), caption equality.
+  Ground truth joins in by image_id before the UDF stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rules import messages as M
+from .codec import decode_image, psnr
+
+
+def _viol_schema(keep: list[str], df: DataFrame) -> str:
+    parts = []
+    for c in keep:
+        dt = df.schema[c].dataType.simpleString()
+        parts.append(f"{c} {dt}")
+    parts += ["field string", "severity string", "message string"]
+    return ", ".join(parts)
+
+
+def decode_check_violations(
+    df: DataFrame,
+    keep_cols: list[str],
+) -> DataFrame:
+    keep = list(keep_cols)
+    needed = list(dict.fromkeys(keep + ["bytes", "w", "h", "fmt"]))
+    src = df.select(*needed)
+    schema = _viol_schema(keep, df)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {c: [] for c in keep}
+            fields, sevs, msgs = [], [], []
+
+            def emit(i: int, fld: str, msg: str) -> None:
+                for c in keep:
+                    rows[c].append(b[c].iloc[i])
+                fields.append(fld)
+                sevs.append("error")
+                msgs.append(msg)
+
+            for i in range(len(b)):
+                data = b["bytes"].iloc[i]
+                if data is None:
+                    continue  # presence handled by the mandatory rule
+                try:
+                    pix, container = decode_image(bytes(data))
+                except Exception as e:  # noqa: BLE001
+                    emit(i, "bytes", M.msg_decode_failed(str(e)))
+                    continue
+                dh, dw = pix.shape[:2]
+                w, h = b["w"].iloc[i], b["h"].iloc[i]
+                if dw != w or dh != h:
+                    emit(i, "bytes", M.msg_dims_mismatch(dw, dh, w, h))
+                fmt = b["fmt"].iloc[i]
+                if container != fmt:
+                    emit(i, "bytes", M.msg_fmt_mismatch(container, fmt))
+            out = pd.DataFrame(rows)
+            out["field"], out["severity"], out["message"] = fields, sevs, msgs
+            yield out
+
+    return src.mapInPandas(check, schema=schema)
+
+
+def invariant_violations(
+    df: DataFrame,
+    gt: DataFrame,
+    keep_cols: list[str],
+    psnr_min: float = 40.0,
+) -> DataFrame:
+    """PSNR + caption-equality violations vs the ground-truth table
+    ``(image_id, gt_pixels, gt_w, gt_h, gt_caption)``. The join runs before
+    the UDF so Spark plans it (sort-merge or broadcast per stats); only the
+    decode + PSNR math is Python."""
+    keep = list(keep_cols)
+    src = df.select(
+        *dict.fromkeys(keep + ["image_id", "bytes", "caption"])
+    ).join(
+        gt.select("image_id", "gt_pixels", "gt_w", "gt_h", "gt_caption"),
+        on="image_id",
+        how="inner",
+    )
+    schema = _viol_schema(keep, df)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {c: [] for c in keep}
+            fields, sevs, msgs = [], [], []
+
+            def emit(i: int, fld: str, msg: str) -> None:
+                for c in keep:
+                    rows[c].append(b[c].iloc[i])
+                fields.append(fld)
+                sevs.append("error")
+                msgs.append(msg)
+
+            for i in range(len(b)):
+                cap = b["caption"].iloc[i]
+                gcap = b["gt_caption"].iloc[i]
+                if (cap if cap is not None else "") != (gcap if gcap is not None else ""):
+                    emit(i, "caption", M.msg_caption_mismatch(b["image_id"].iloc[i]))
+                data = b["bytes"].iloc[i]
+                if data is None:
+                    continue
+                try:
+                    pix, _ = decode_image(bytes(data))
+                except Exception:  # decode failures are decode_check's job
+                    continue
+                gw, gh = int(b["gt_w"].iloc[i]), int(b["gt_h"].iloc[i])
+                gpix = np.frombuffer(bytes(b["gt_pixels"].iloc[i]), dtype=np.uint8)
+                if gpix.size != gh * gw * 3 or pix.shape != (gh, gw, 3):
+                    continue  # dims mismatch is decode_check's job
+                p = psnr(pix, gpix.reshape(gh, gw, 3))
+                if p < psnr_min:
+                    emit(i, "bytes", M.msg_psnr(p, psnr_min))
+            out = pd.DataFrame(rows)
+            out["field"], out["severity"], out["message"] = fields, sevs, msgs
+            yield out
+
+    return src.mapInPandas(check, schema=schema)

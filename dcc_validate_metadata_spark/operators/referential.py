@@ -1,0 +1,82 @@
+"""Referential checks against lookup tables via broadcast joins.
+
+Reference analogue: batched async HTTP fetches against OLS / BioSamples at
+validation time (``validation/get_ontology_text_async.py``,
+``get_biosample_data_async.py`` — SURVEY.md J5-J8). Executors must never
+call out, so lookups are pre-materialized snapshot DataFrames, broadcast
+(they are small: ontologies are thousands of rows against 10^12 facts), and
+checks are left/anti joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dangling_ref_violations(
+    df: DataFrame,
+    field: str,
+    lookup: DataFrame,
+    lookup_key: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Rows whose ``field`` value has no (case-insensitive) match in
+    ``lookup[lookup_key]`` → error rows. Left-anti against a broadcast
+    lookup: no shuffle of the fact table (J5 mapping)."""
+    keep = list(keep_cols)
+    keys = lookup.select(F.lower(F.col(lookup_key)).alias("_ref_key")).distinct()
+    return (
+        df.filter(F.col(field).isNotNull())
+        .join(
+            F.broadcast(keys),
+            on=F.lower(F.col(field)) == F.col("_ref_key"),
+            how="left_anti",
+        )
+        .select(
+            *keep,
+            F.lit(field).alias("field"),
+            F.lit("error").alias("severity"),
+            F.concat(
+                F.lit("Couldn't find term '"),
+                F.col(field).cast("string"),
+                F.lit(f"' in ontology for field '{field}'"),
+            ).alias("message"),
+        )
+    )
+
+
+def label_match_violations(
+    df: DataFrame,
+    term_col: str,
+    text_col: str,
+    lookup: DataFrame,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Ontology text/term consistency: the record's display text must equal
+    (case-insensitively) the ontology label for its term — reference
+    ``check_ols`` (``WarningsAndAdditionalChecks.py:292-320``), message
+    format F6 verbatim. Broadcast inner join + inequality filter."""
+    keep = list(keep_cols)
+    terms = lookup.select(
+        F.col("term").alias("_term"), F.lower(F.col("label")).alias("_label"), F.col("label").alias("_label_raw")
+    )
+    return (
+        df.filter(F.col(term_col).isNotNull() & F.col(text_col).isNotNull())
+        .join(F.broadcast(terms), on=F.col(term_col) == F.col("_term"), how="inner")
+        .filter(F.lower(F.col(text_col)) != F.col("_label"))
+        .select(
+            *keep,
+            F.lit(text_col).alias("field"),
+            F.lit("warning").alias("severity"),
+            F.concat(
+                F.lit("Provided value '"),
+                F.col(text_col),
+                F.lit("' doesn't precisely match '"),
+                F.col("_label_raw"),
+                F.lit("' for term '"),
+                F.col(term_col),
+                F.lit("'"),
+            ).alias("message"),
+        )
+    )
