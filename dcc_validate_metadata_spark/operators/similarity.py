@@ -1,0 +1,111 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the correctness baseline (and the DuckDB
+oracle); the scale path buckets vectors with deterministic random-
+hyperplane LSH so each query only scans its bucket neighborhood. No
+reference analogue (the reference's search is Elasticsearch full-text —
+SURVEY.md P7); this is a graft-added training-data-pipeline operator.
+
+Scale notes: brute force is O(Q x N) dot products — fine for Q small even
+at 10^9 N when the dot product stays in whole-stage codegen; the LSH
+variant turns it into O(Q x N / 2^bits) with a recall/probe tradeoff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import _dot, _norm, round4
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query id: (q_id, rank, id, cosine).
+    The query side is broadcast (tiny); ranking is a per-query window.
+    Ties break on neighbor id for determinism."""
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    q = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        base.join(F.broadcast(q), F.col("q_id") != F.col("id"))
+        .select("q_id", "id", cos.alias("_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "id", round4(F.col("_cos")).alias("cosine"))
+    )
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(<v, plane_i>). Pure Column math —
+    evaluated JVM-side, no UDF."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_bucketed(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k restricted to each query's LSH bucket (single-probe).
+    Same output schema as cosine_topk; recall < 1 by design — the bucket
+    join replaces the full scan, which is the point at 10^9+ vectors.
+    Multi-probe = union over neighboring buckets (not needed here)."""
+    planes = hyperplanes(dim, n_bits, seed)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        base.join(F.broadcast(q), (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("id")))
+        .select("q_id", "id", cos.alias("_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "id", round4(F.col("_cos")).alias("cosine"))
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting
+and document fingerprinting over a ``documents(doc_id, text, …)`` table.
+Everything is built from JVM-side ``pyspark.sql.functions`` (no Python in
+the hot path); each operator has an exact ANSI-SQL twin in
+``queries/trainingdata.py`` so the DuckDB oracle can replay it
+byte-for-byte. The reference has no text analytics — the nearest
+analogue is its cosmetic string pipeline (SURVEY.md §2.7 F1/F5), which
+``normalize_text`` generalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import round4
+
+# deterministic English function-word list used by the quality + lang-id
+# heuristics; any change must be mirrored in queries/trainingdata.py oracles
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+_PUNCT_RE = "[^a-zA-Z0-9 \\t\\n]"
+_WS_RE = "\\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; identical to DuckDB's
+    ``regexp_split_to_array(trim(text), '\\s+')``."""
+    return F.split(F.trim(text), _WS_RE)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace, trim."""
+    stripped = F.regexp_replace(F.lower(text), _PUNCT_RE, "")
+    return F.trim(F.regexp_replace(stripped, _WS_RE, " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    Cross-engine reproducible (same md5 in DuckDB)."""
+    return F.md5(normalize_text(text))
+
+
+def _stopword_count(tok: Column) -> Column:
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def token_count_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_chars_actual) — token counting + length audit."""
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
+    )
+
+
+def quality_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + composite score, all rounded so the
+    DuckDB oracle reproduces the exact doubles:
+
+      stop_ratio  = stopword tokens / tokens
+      punct_ratio = non-alnum chars / chars
+      mean_tok_len, n_tokens
+      quality = 0.4*least(1, n_tokens/50) + 0.3*stop_ratio*5 bounded
+                + 0.3*(1 - punct_ratio)    (heuristic, documented)
+    """
+    t = F.col(text_col)
+    tok = tokens(t)
+    n_tok = F.size(tok).cast("double")
+    stop_ratio = _stopword_count(tok).cast("double") / n_tok
+    n_chars = F.length(t).cast("double")
+    punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_RE, "")).cast("double")
+    punct_ratio = punct / n_chars
+    mean_tok_len = (
+        F.aggregate(tok, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")) / n_tok
+    )
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(50.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(tok).cast("long").alias("n_tokens"),
+        round4(stop_ratio).alias("stop_ratio"),
+        round4(punct_ratio).alias("punct_ratio"),
+        round4(mean_tok_len).alias("mean_tok_len"),
+        round4(quality).alias("quality"),
+    )
+
+
+def lang_id_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram-free stopword-density language heuristic: docs whose
+    stopword ratio >= 0.03 are predicted ``en``, else ``und``. Real
+    pipelines swap in a fastText model via mapInPandas; the Spark plumbing
+    (one projection, no shuffle) is the part that matters at 100 TB."""
+    tok = tokens(F.col(text_col))
+    ratio = _stopword_count(tok).cast("double") / F.size(tok).cast("double")
+    return df.select(
+        F.col(id_col),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+        round4(ratio).alias("en_score"),
+    )
+
+
+def fingerprint_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))

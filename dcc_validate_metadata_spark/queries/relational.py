@@ -1,0 +1,676 @@
+"""Relational query pack exercising the SURVEY.md §2 operator inventory
+over the driver's TPC-H-ish tables, each with a DuckDB oracle.
+
+Coverage map (operator id → query):
+  P3 terms filter → p3_terms_filter      P4 negation → p4_negated_filter
+  P5 array predicate → p5_array_predicate P6 wildcard → p6_wildcard_like
+  P7 multi-field match → p7_multimatch    P9 id lookup → p9_id_lookup
+  P10 safe-name regex → p10_safe_name     P11 name derivation → p11_record_name
+  J1 hash join+agg → j1_join_agg          J2 semi join → j2_semi_join
+  J3 multi-way join → j3_multiway_join    J5 anti join → j5_anti_join
+  J6 broadcast lookup → j6_broadcast_lookup J9 self join → j9_self_join
+  A1 terms agg top-k → a1_terms_top       A2 json-extract agg → a2_json_agg
+  A3 missing agg → a3_null_counts         A5 verdict rollup → a5_verdict_rollup
+  A7 column summary → a7_column_stats
+  O1 sort → o1_sort_topk  O2 sort-by-length → o2_sort_by_len
+  O3 pagination window → o3_window_topn   (+ w1_running_sum windowed agg)
+  U1 union fan-out → u1_union_fanout      U2 dedup → u2_distinct_pairs
+  F1 snake case → f1_snake_case           F3 date handling → f3_date_agg
+  F10 array join → f10_array_join         F11 checksum → f11_checksum
+  TPC-H-style pricing rollup → q1_pricing_summary
+
+Plan-shape notes are in each docstring; see scripts/explain_plans.py for
+the `.explain("formatted")` audit (pushed filters, broadcast choices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- aggs
+
+def a1_terms_top(spark, sf_dir):
+    """A1: group-by count, top 25 buckets (ties broken on the key)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(25)
+    )
+
+
+A1_SQL = """
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 25
+"""
+
+
+def a2_json_agg(spark, sf_dir):
+    """A2: predicate/agg over a JSON-encoded props column (the nested-doc
+    analogue); JSON parsing stays JVM-side via get_json_object."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("k").alias("k_min"), F.max("k").alias("k_max"))
+        .orderBy("k_mod")
+    )
+
+
+A2_SQL = """
+SELECT try_cast(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS cnt,
+       min(try_cast(json_extract_string(props, '$.k') AS INT)) AS k_min,
+       max(try_cast(json_extract_string(props, '$.k') AS INT)) AS k_max
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def a3_null_counts(spark, sf_dir):
+    """A3: missing-value aggregation (null-rate stat) in one pass."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_value"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_null_props"),
+    )
+
+
+A3_SQL = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props
+FROM events
+"""
+
+
+def a5_verdict_rollup(spark, sf_dir):
+    """A5: boolean any-over-group verdict (pass/fail per unit)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("o_totalprice") > 450000.0).alias("fail"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+A5_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       max(o_totalprice) > 450000.0 AS fail
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def a7_column_stats(spark, sf_dir):
+    """A7: per-column profile (count / nulls / min / max / mean)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("qty_nulls"),
+        F.min("l_discount").alias("disc_min"),
+        F.max("l_discount").alias("disc_max"),
+    )
+
+
+A7_SQL = """
+SELECT count(*) AS n_rows,
+       min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+       round(avg(l_quantity), 4) AS qty_mean,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+       min(l_discount) AS disc_min, max(l_discount) AS disc_max
+FROM lineitem
+"""
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped rollup: map-side partial agg → tiny shuffle on two
+    low-cardinality keys; every expression in whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ filters
+
+def p3_terms_filter(spark, sf_dir):
+    """P3: isin terms filter, pushed to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R") & (F.col("l_quantity") < 3))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+P3_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+WHERE l_returnflag IN ('A','R') AND l_quantity < 3
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def p4_negated_filter(spark, sf_dir):
+    """P4: negated filter (must_not)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(~F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+P4_SQL = """
+SELECT event_type, count(*) AS cnt FROM events
+WHERE event_type NOT IN ('click','view') GROUP BY 1 ORDER BY 1
+"""
+
+
+def p5_array_predicate(spark, sf_dir):
+    """P5: predicate over an array (higher-order, stays JVM-side)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    return (
+        d.filter(F.array_contains(toks, "vector"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+P5_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE list_contains(regexp_split_to_array(trim(text), '\\s+'), 'vector')
+ORDER BY doc_id LIMIT 200
+"""
+
+
+def p6_wildcard_like(spark, sf_dir):
+    """P6: wildcard predicate → LIKE."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_name").like("%12%"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+P6_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_name LIKE '%12%' ORDER BY c_custkey LIMIT 100
+"""
+
+
+def p7_multimatch(spark, sf_dir):
+    """P7: full-text-ish multi-term contains over a text column."""
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    return (
+        d.filter(lt.contains("spark") & lt.contains("window"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+P7_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE contains(lower(text), 'spark') AND contains(lower(text), 'window')
+ORDER BY doc_id LIMIT 200
+"""
+
+
+def p9_id_lookup(spark, sf_dir):
+    """P9: point lookup by id."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )
+
+
+P9_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer WHERE c_custkey = 42
+"""
+
+
+def p10_safe_name(spark, sf_dir):
+    """P10: allowlist-regex guard as a predicate."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").rlike("^[A-Za-z0-9._-]+$").alias("is_safe"))
+        .groupBy("is_safe")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("is_safe")
+    )
+
+
+P10_SQL = """
+SELECT regexp_matches(p_name, '^[A-Za-z0-9._-]+$') AS is_safe, count(*) AS cnt
+FROM part GROUP BY 1 ORDER BY 1
+"""
+
+
+def p11_record_name(spark, sf_dir):
+    """P11: record-name derivation via coalesce fallback chain."""
+    o = _t(spark, sf_dir, "orders")
+    name = F.coalesce(
+        F.nullif(F.trim(F.col("o_orderpriority")), F.lit("")),
+        F.concat(F.lit("orders_"), F.col("o_orderkey").cast("string")),
+    )
+    return (
+        o.select("o_orderkey", F.concat(name, F.lit("-"), F.col("o_orderkey").cast("string")).alias("rec_name"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+P11_SQL = """
+SELECT o_orderkey,
+       coalesce(nullif(trim(o_orderpriority), ''), 'orders_' || o_orderkey)
+         || '-' || o_orderkey AS rec_name
+FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
+# -------------------------------------------------------------------- joins
+
+def j1_join_agg(spark, sf_dir):
+    """J1: hash join + nested re-agg (orders per customer segment)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+J1_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def j2_semi_join(spark, sf_dir):
+    """J2: semi-join pushdown — the reference chunks FK terms at 50k
+    (graphql helpers.py:195-213); Spark broadcasts the distinct-key side."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+J2_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+ORDER BY c_custkey
+"""
+
+
+def j3_multiway_join(spark, sf_dir):
+    """J3: recursive/multi-way join tree — Catalyst reorders freely; the
+    small dims (nation, region) broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+J3_SQL = """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def j5_anti_join(spark, sf_dir):
+    """J5: referential-absence check as a left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_urgent"))
+        .orderBy("c_mktsegment")
+    )
+
+
+J5_SQL = """
+SELECT c_mktsegment, count(*) AS n_without_urgent FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def j6_broadcast_lookup(spark, sf_dir):
+    """J6/J7: external-lookup join — snapshot dim broadcast to the fact."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.avg("s_acctbal"), 4).alias("avg_bal"))
+        .orderBy("n_name")
+    )
+
+
+J6_SQL = """
+SELECT n_name, count(*) AS n_suppliers, round(avg(s_acctbal), 4) AS avg_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def j9_self_join(spark, sf_dir):
+    """J9: 1-hop self-join (same-region nation pairs)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_regionkey").alias("rk"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_regionkey").alias("rk"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, on="rk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(F.col("rk").alias("n_regionkey"), "name_a", "name_b")
+        .orderBy("n_regionkey", "name_a", "name_b")
+    )
+
+
+J9_SQL = """
+SELECT a.n_regionkey, a.n_name AS name_a, b.n_name AS name_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+ORDER BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------ sorts / limits
+
+def o1_sort_topk(spark, sf_dir):
+    """O1/O4: global sort + limit → TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+O1_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+"""
+
+
+def o2_sort_by_len(spark, sf_dir):
+    """O2: script-sort by length analogue."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("text_len"))
+        .orderBy(F.desc("text_len"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O2_SQL = """
+SELECT doc_id, length(text) AS text_len FROM documents
+ORDER BY text_len DESC, doc_id LIMIT 20
+"""
+
+
+def o3_window_topn(spark, sf_dir):
+    """O3: pagination/top-N per group via row_number window."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+O3_SQL = """
+SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer
+) WHERE rank <= 3 ORDER BY c_mktsegment, rank
+"""
+
+
+def w1_running_sum(spark, sf_dir):
+    """Windowed running aggregate (ordered frame — deterministic float sum)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+W1_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events WHERE user_id < 5 ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------- set ops
+
+def u1_union_fanout(spark, sf_dir):
+    """U1: fan-out union of per-source queries, merged + deduped."""
+    o = _t(spark, sf_dir, "orders")
+    q1 = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderstatus")
+    q2 = o.filter(F.col("o_totalprice") > 450000.0).select("o_orderkey", "o_orderstatus")
+    return (
+        q1.unionByName(q2)
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus")
+    )
+
+
+U1_SQL = """
+SELECT o_orderstatus, count(*) AS cnt FROM (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 450000.0
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+def u2_distinct_pairs(spark, sf_dir):
+    """U2: dedup-on-merge → DISTINCT."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+U2_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------- scalars
+
+def f1_snake_case(spark, sf_dir):
+    """F1: convert_to_snake_case (lower, spaces/dashes → underscore)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.regexp_replace(F.lower(F.col("o_orderpriority")), "[ -]", "_").alias("snake")
+        )
+        .distinct()
+        .orderBy("snake")
+    )
+
+
+F1_SQL = """
+SELECT DISTINCT regexp_replace(lower(o_orderpriority), '[ -]', '_', 'g') AS snake
+FROM orders ORDER BY 1
+"""
+
+
+def f3_date_agg(spark, sf_dir):
+    """F3/F4: date parsing/formatting + time-bucket aggregation."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("ym")
+    )
+
+
+F3_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def f10_array_join(spark, sf_dir):
+    """F10: per-group ordered array join for export."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("l_linenumber")), lambda x: x.cast("string")),
+                ",",
+            ).alias("lines")
+        )
+        .orderBy("l_orderkey")
+        .limit(200)
+    )
+
+
+F10_SQL = """
+SELECT l_orderkey, string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS lines
+FROM lineitem GROUP BY 1 ORDER BY 1 LIMIT 200
+"""
+
+
+def f11_checksum(spark, sf_dir):
+    """F11: checksum/byte accounting (md5 + length)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", F.md5("c_name").alias("name_md5"), F.length("c_name").alias("name_len"))
+        .orderBy("c_custkey")
+    )
+
+
+F11_SQL = """
+SELECT c_custkey, md5(c_name) AS name_md5, length(c_name) AS name_len
+FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "a1_terms_top": (a1_terms_top, A1_SQL),
+    "a2_json_agg": (a2_json_agg, A2_SQL),
+    "a3_null_counts": (a3_null_counts, A3_SQL),
+    "a5_verdict_rollup": (a5_verdict_rollup, A5_SQL),
+    "a7_column_stats": (a7_column_stats, A7_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "p3_terms_filter": (p3_terms_filter, P3_SQL),
+    "p4_negated_filter": (p4_negated_filter, P4_SQL),
+    "p5_array_predicate": (p5_array_predicate, P5_SQL),
+    "p6_wildcard_like": (p6_wildcard_like, P6_SQL),
+    "p7_multimatch": (p7_multimatch, P7_SQL),
+    "p9_id_lookup": (p9_id_lookup, P9_SQL),
+    "p10_safe_name": (p10_safe_name, P10_SQL),
+    "p11_record_name": (p11_record_name, P11_SQL),
+    "j1_join_agg": (j1_join_agg, J1_SQL),
+    "j2_semi_join": (j2_semi_join, J2_SQL),
+    "j3_multiway_join": (j3_multiway_join, J3_SQL),
+    "j5_anti_join": (j5_anti_join, J5_SQL),
+    "j6_broadcast_lookup": (j6_broadcast_lookup, J6_SQL),
+    "j9_self_join": (j9_self_join, J9_SQL),
+    "o1_sort_topk": (o1_sort_topk, O1_SQL),
+    "o2_sort_by_len": (o2_sort_by_len, O2_SQL),
+    "o3_window_topn": (o3_window_topn, O3_SQL),
+    "w1_running_sum": (w1_running_sum, W1_SQL),
+    "u1_union_fanout": (u1_union_fanout, U1_SQL),
+    "u2_distinct_pairs": (u2_distinct_pairs, U2_SQL),
+    "f1_snake_case": (f1_snake_case, F1_SQL),
+    "f3_date_agg": (f3_date_agg, F3_SQL),
+    "f10_array_join": (f10_array_join, F10_SQL),
+    "f11_checksum": (f11_checksum, F11_SQL),
+}

@@ -1,0 +1,358 @@
+"""Training-data-pipeline query pack: dedup, similarity search, text
+analysis over the ``documents`` / ``embeddings`` tables, each with a
+DuckDB oracle that replays the computation bit-for-bit.
+
+Cross-engine determinism hinges on one trick: every hash is md5-based, so
+Spark ``conv(substring(md5(x),1,15),16,10)`` and DuckDB
+``('0x' || substr(md5(x),1,15))::BIGINT`` produce the same 60-bit integer.
+MinHash signatures, LSH bands, and SimHash bit votes are therefore
+identical in both engines — the oracle checks the *algorithm*, not just
+the final threshold set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+
+# shared with the oracles below — keep in sync with operators/*.py defaults
+NGRAM_N = 3
+JACCARD_T = 0.5
+NUM_HASHES = D.NUM_MINHASHES  # 32
+BAND_ROWS = D.LSH_BAND_ROWS  # 2
+SIMHASH_BITS = D.SIMHASH_BITS  # 60
+SIMHASH_MAX_HAMMING = 12
+COSINE_T = 0.5
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+_H64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(tk[i:i+{NGRAM_N - 1}], ' ') AS s
+  FROM toks, UNNEST(range(1, len(tk) - {NGRAM_N - 2})) AS t(i)
+  WHERE len(tk) >= {NGRAM_N}
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------- dedup
+
+def dd_exact_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint.
+    Returns every fingerprint group (n_docs > 1 are the dup groups); the
+    full listing keeps the oracle signal non-trivial even when the corpus
+    has no exact dups."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(X.fingerprint(F.col("text")).alias("fingerprint"), F.col("doc_id"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .orderBy("fingerprint")
+        .limit(1000)
+    )
+
+
+DD_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-zA-Z0-9 \\t\\n]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY 1 LIMIT 1000
+"""
+
+
+def dd_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    sh = D.word_shingles(_docs(spark, sf_dir), n=NGRAM_N)
+    return D.jaccard_pairs(sh, JACCARD_T).orderBy("id_a", "id_b")
+
+
+DD_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard
+FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+WHERE floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {JACCARD_T}
+ORDER BY id_a, id_b
+"""
+
+
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash(32) + LSH(16 bands x 2) candidate generation + exact
+    verification — the scale path for near-dup dedup."""
+    return D.minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_T, n=NGRAM_N
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sql() -> str:
+    hash_cols = ",\n         ".join(
+        f"{_H64.format(x=repr(f'{i}:') + ' || s')} AS h{i}" for i in range(NUM_HASHES)
+    )
+    min_cols = ", ".join(f"min(h{i}) AS mh_{i}" for i in range(NUM_HASHES))
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, md5({expr}) AS key FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"mh_{b * BAND_ROWS + r}::VARCHAR" for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT id, {hash_cols}
+  FROM sh
+),
+sig AS (SELECT id, {min_cols} FROM hashed GROUP BY id),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard
+FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+WHERE floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {JACCARD_T}
+ORDER BY id_a, id_b
+"""
+
+
+def dd_simhash(spark, sf_dir):
+    """Per-document 60-bit SimHash (tf-weighted token bit votes)."""
+    return (
+        D.simhash_df(_docs(spark, sf_dir))
+        .select(F.col("id").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_cte() -> str:
+    votes = ",\n         ".join(
+        f"sum(tf * (2 * ((h >> {b}) & 1) - 1)) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id AS id, t, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents
+  ) GROUP BY 1, 2
+),
+h AS (SELECT id, tf, {_H64.format(x='t')} AS h FROM tok),
+votes AS (
+  SELECT id, {votes}
+  FROM h GROUP BY id
+),
+simhashes AS (SELECT id, ({terms}) AS simhash FROM votes)
+"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT id AS doc_id, simhash FROM simhashes ORDER BY doc_id"
+
+
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming <= 12 of 60 bits."""
+    sim = D.simhash_df(_docs(spark, sf_dir))
+    return D.simhash_pairs(sim, max_hamming=SIMHASH_MAX_HAMMING).orderBy("id_a", "id_b")
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+WITH {_simhash_cte()}
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM simhashes a JOIN simhashes b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+def dd_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute force baseline)."""
+    return D.embedding_cosine_pairs(_embs(spark, sf_dir), threshold=COSINE_T).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DD_EMBED_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {COSINE_T}
+ORDER BY id_a, id_b
+"""
+
+
+# -------------------------------------------------------------- similarity
+
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact top-10 cosine neighbors for 5 query vectors (ANN baseline)."""
+    return S.cosine_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K).orderBy(
+        "q_id", "rank"
+    )
+
+
+ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+scored AS (
+  SELECT q_id, e.vec_id AS id, list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS c
+  FROM q JOIN embeddings e ON e.vec_id <> q_id
+),
+r AS (
+  SELECT q_id, id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, id, floor(c * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS cosine FROM r WHERE rank <= {ANN_K}
+ORDER BY q_id, rank
+"""
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-LSH-bucketed ANN (single probe) — the scale path. Recall < 1
+    by design, so there is no SQL oracle (driver records rows-only)."""
+    return S.ann_lsh_bucketed(
+        _embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, n_bits=6, dim=64
+    ).orderBy("q_id", "rank")
+
+
+# ------------------------------------------------------------ text analysis
+
+def txt_token_counts(spark, sf_dir):
+    return X.token_count_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TXT_TOKENS_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in X.STOPWORDS)
+
+_TXT_FEATURES_CTE = f"""
+feat AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS tk,
+         length(text)::DOUBLE AS n_chars,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n]', '', 'g')))::DOUBLE
+           AS n_punct
+  FROM documents
+),
+feat2 AS (
+  SELECT doc_id,
+         len(tk)::DOUBLE AS n_tok,
+         len(list_filter(tk, t -> list_contains([{_STOP_LIST}], lower(t))))::DOUBLE AS n_stop,
+         list_aggregate(list_transform(tk, t -> length(t)::DOUBLE), 'sum') AS tok_chars,
+         n_chars, n_punct
+  FROM feat
+)
+"""
+
+
+def txt_quality(spark, sf_dir):
+    return X.quality_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TXT_QUALITY_SQL = f"""
+WITH {_TXT_FEATURES_CTE}
+SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       floor(n_stop / n_tok * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS stop_ratio,
+       floor(n_punct / n_chars * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS punct_ratio,
+       floor(tok_chars / n_tok * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS mean_tok_len,
+       floor((0.4::DOUBLE * least(1.0::DOUBLE, n_tok / 50.0::DOUBLE)
+             + 0.3::DOUBLE * least(1.0::DOUBLE, (n_stop / n_tok) * 5.0::DOUBLE)
+             + 0.3::DOUBLE * (1.0::DOUBLE - n_punct / n_chars)) * 10000.0::DOUBLE + 0.5::DOUBLE)
+         / 10000.0::DOUBLE AS quality
+FROM feat2 ORDER BY doc_id
+"""
+
+
+def txt_lang_id(spark, sf_dir):
+    """Stopword-density language heuristic, rolled up vs the labeled lang."""
+    d = _docs(spark, sf_dir)
+    pred = X.lang_id_df(d)
+    return (
+        d.join(pred, on="doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+TXT_LANGID_SQL = f"""
+WITH {_TXT_FEATURES_CTE}
+SELECT d.lang,
+       CASE WHEN f.n_stop / f.n_tok >= 0.03 THEN 'en' ELSE 'und' END AS pred_lang,
+       count(*) AS cnt
+FROM documents d JOIN feat2 f ON d.doc_id = f.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def txt_fingerprints(spark, sf_dir):
+    return X.fingerprint_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TXT_FP_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-zA-Z0-9 \\t\\n]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dd_exact_groups": (dd_exact_groups, DD_EXACT_SQL),
+    "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
+    "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
+    "dd_simhash": (dd_simhash, _simhash_sql()),
+    "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
+    "dd_embedding_pairs": (dd_embedding_pairs, DD_EMBED_SQL),
+    "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_SQL),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, None),
+    "txt_token_counts": (txt_token_counts, TXT_TOKENS_SQL),
+    "txt_quality": (txt_quality, TXT_QUALITY_SQL),
+    "txt_lang_id": (txt_lang_id, TXT_LANGID_SQL),
+    "txt_fingerprints": (txt_fingerprints, TXT_FP_SQL),
+}

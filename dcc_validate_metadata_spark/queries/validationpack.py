@@ -1,0 +1,226 @@
+"""North-rule validation queries over the deterministic image+caption
+fixture, oracled against the generator's golden outputs (an independent
+pure-Python reimplementation of the rule semantics — see
+sources/image_table.py).
+
+The fixture (1010 rows, planted violations every 101-row cycle) is
+materialized once per machine under /tmp at import time — pandas/numpy
+only, ~1s — so the DuckDB oracle can ``read_parquet`` the golden files
+regardless of whether the driver runs the oracle before or after the
+Spark query.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+FIXTURE_ROWS = 1010
+FIXTURE_BUCKETS = 4
+FIXTURE_SEED = 42
+FIX_DIR = Path(f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}")
+
+
+def ensure_fixture() -> Path:
+    marker = FIX_DIR / ".done"
+    if not marker.exists():
+        from ..sources.image_table import generate_image_fixture
+
+        generate_image_fixture(
+            FIX_DIR, n_rows=FIXTURE_ROWS, seed=FIXTURE_SEED, n_buckets=FIXTURE_BUCKETS
+        )
+        marker.touch()
+    return FIX_DIR
+
+
+ensure_fixture()
+
+_IMG = str(FIX_DIR / "image_caption")
+_GT = str(FIX_DIR / "image_caption_gt.parquet")
+_ONTO = str(FIX_DIR / "ontology_terms.parquet")
+_EDGES = str(FIX_DIR / "sample_edges.parquet")
+_EXP_VIOL = str(FIX_DIR / "expected_violations.parquet")
+_EXP_VERD = str(FIX_DIR / "expected_verdicts.parquet")
+
+
+def _load(spark):
+    from ..sources.image_table import load_image_table
+
+    return load_image_table(spark, _IMG)
+
+
+def img_validate(spark, sf_dir):
+    """The flagship: full validation pass (row rules ∥ salted uniqueness ∥
+    broadcast referential ∥ Arrow decode ∥ ground-truth invariants) fused
+    over one scan; oracle = the generator's independently-derived golden
+    violation rows."""
+    from ..plans.pipeline import build_violations
+
+    df = _load(spark)
+    onto = spark.read.parquet(_ONTO)
+    gt = spark.read.parquet(_GT)
+    return build_violations(df, ontology=onto, gt=gt)
+
+
+IMG_VALIDATE_SQL = f"""
+SELECT fmt, bucket, image_id, field, severity, message
+FROM read_parquet('{_EXP_VIOL}')
+"""
+
+
+def img_verdicts(spark, sf_dir):
+    """Per-partition pass/fail verdicts (A5 mapping) vs golden."""
+    from ..plans.pipeline import build_verdicts, build_violations
+
+    df = _load(spark)
+    onto = spark.read.parquet(_ONTO)
+    gt = spark.read.parquet(_GT)
+    return build_verdicts(df, build_violations(df, ontology=onto, gt=gt))
+
+
+IMG_VERDICTS_SQL = f"""
+SELECT fmt, bucket, "pass", n_errors::BIGINT AS n_errors, n_warnings::BIGINT AS n_warnings
+FROM read_parquet('{_EXP_VERD}')
+"""
+
+
+def img_column_stats(spark, sf_dir):
+    """Per-partition column profile (A3/A7 mapping) for the numeric dims."""
+    from ..operators.stats import column_stats
+
+    df = _load(spark).select("fmt", "w", "h")
+    s = column_stats(df, group_cols=["fmt"])
+    return s.select(
+        "fmt",
+        "column",
+        F.col("count").cast("long").alias("count"),
+        F.col("n_null").cast("long").alias("n_null"),
+        "min",
+        "max",
+        F.round("mean", 4).alias("mean"),
+    ).orderBy("fmt", "column")
+
+
+IMG_STATS_SQL = f"""
+WITH img AS (SELECT fmt, w, h FROM read_parquet('{_IMG}'))
+SELECT fmt, col AS "column", count, n_null, mn AS "min", mx AS "max", mean
+FROM (
+  SELECT fmt, 'w' AS col, count(*) AS count,
+         sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_null,
+         min(w)::DOUBLE AS mn, max(w)::DOUBLE AS mx, round(avg(w), 4) AS mean
+  FROM img GROUP BY fmt
+  UNION ALL
+  SELECT fmt, 'h', count(*),
+         sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END),
+         min(h)::DOUBLE, max(h)::DOUBLE, round(avg(h), 4)
+  FROM img GROUP BY fmt
+) ORDER BY fmt, col
+"""
+
+
+def img_dup_phash(spark, sf_dir):
+    """Salted two-phase duplicate detection on phash."""
+    from ..operators.uniqueness import duplicate_keys
+
+    return duplicate_keys(_load(spark), "phash").orderBy("phash")
+
+
+IMG_DUP_SQL = f"""
+SELECT phash, count(*) AS n FROM read_parquet('{_IMG}')
+WHERE phash IS NOT NULL GROUP BY phash HAVING count(*) > 1 ORDER BY phash
+"""
+
+
+def img_drift_hist(spark, sf_dir):
+    """Fixed-width histogram sketch per partition — the shuffle-side half
+    of the drift check (KS/chi² runs driver-side on the sketch)."""
+    from ..operators.drift import histogram_by_partition
+
+    return histogram_by_partition(
+        _load(spark), "w", ["fmt"], n_bins=8, lo=0.0, hi=64.0
+    ).orderBy("fmt", "bin")
+
+
+IMG_DRIFT_SQL = f"""
+SELECT fmt,
+       least(7, greatest(0, floor((w::DOUBLE - 0.0) / 8.0)))::INT AS bin,
+       count(*) AS n
+FROM read_parquet('{_IMG}')
+WHERE w IS NOT NULL GROUP BY 1, 2 ORDER BY fmt, bin
+"""
+
+
+def rel_violations(spark, sf_dir):
+    """Relationship checks (J5/J8/J9): dangling parent, material-pair
+    whitelist, species equality, mutual-parent cycle — all as 1-hop
+    self-joins; oracle reimplements them in SQL."""
+    from ..operators.relationships import relationship_violations
+
+    edges = spark.read.parquet(_EDGES)
+    return relationship_violations(edges).orderBy("name", "field", "message")
+
+
+_ALLOWED = {
+    "organism": ["organism"],
+    "specimen from organism": ["organism"],
+    "pool of specimens": ["specimen from organism"],
+    "cell specimen": ["specimen from organism"],
+    "cell culture": ["specimen from organism", "cell specimen"],
+    "cell line": ["organism"],
+}
+_ALLOWED_PAIRS = ",\n  ".join(
+    f"('{m}', '{p}')" for m, ps in _ALLOWED.items() for p in ps
+)
+_ALLOWED_STR = ",\n  ".join(f"('{m}', '{', '.join(ps)}')" for m, ps in _ALLOWED.items())
+
+REL_SQL = f"""
+WITH e AS (SELECT * FROM read_parquet('{_EDGES}')),
+linked AS (SELECT * FROM e WHERE parent IS NOT NULL),
+allowed_pairs(material, parent_material) AS (VALUES
+  {_ALLOWED_PAIRS}
+),
+allowed_str(material, s) AS (VALUES
+  {_ALLOWED_STR}
+),
+joined AS (
+  SELECT l.name, l.material, l.organism, l.parent,
+         p.name AS p_name, p.material AS p_material,
+         p.organism AS p_organism, p.parent AS p_parent
+  FROM linked l JOIN e p ON p.name = l.parent
+)
+SELECT name, field, severity, message FROM (
+  SELECT l.name, 'parent' AS field, 'error' AS severity,
+         'Relationships part: no entity ''' || l.parent || ''' found' AS message
+  FROM linked l WHERE NOT EXISTS (SELECT 1 FROM e p WHERE p.name = l.parent)
+  UNION ALL
+  SELECT j.name, 'parent', 'error',
+         'Relationships part: referenced entity ''' || j.p_name ||
+         ''' does not match condition ''should be ' || a.s || ''''
+  FROM joined j JOIN allowed_str a ON a.material = j.material
+  WHERE NOT EXISTS (SELECT 1 FROM allowed_pairs ap
+                    WHERE ap.material = j.material AND ap.parent_material = j.p_material)
+  UNION ALL
+  SELECT j.name, 'organism', 'error',
+         'Relationships part: the specie of the child ''' || j.organism ||
+         ''' doesn''t match the specie of the parent ''' || j.p_organism || ''''
+  FROM joined j
+  WHERE j.material = 'organism' AND j.p_material = 'organism'
+        AND j.organism <> j.p_organism
+  UNION ALL
+  SELECT j.name, 'parent', 'error',
+         'Relationships part: parent ''' || j.p_name || ''' lists ''' ||
+         j.name || ''' as its own parent'
+  FROM joined j WHERE j.p_parent = j.name
+) ORDER BY name, field, message
+"""
+
+
+QUERIES = {
+    "img_validate": (img_validate, IMG_VALIDATE_SQL),
+    "img_verdicts": (img_verdicts, IMG_VERDICTS_SQL),
+    "img_column_stats": (img_column_stats, IMG_STATS_SQL),
+    "img_dup_phash": (img_dup_phash, IMG_DUP_SQL),
+    "img_drift_hist": (img_drift_hist, IMG_DRIFT_SQL),
+    "rel_violations": (rel_violations, REL_SQL),
+}
