@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the primary
+north-rule metric — rows validated/sec over a distributed-generated
+image+caption table. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "rows_validated_per_sec": ..., ...}
+
+Each query is forced with a noop write (full materialization, nothing
+collected to the driver). The scaling-efficiency evidence (local[8] vs
+local[32]) lives in scripts/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_IMG_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_ROWS", "100000"))
+BENCH_IMG_DIR = f"/tmp/dcc_vm_bench_n{BENCH_IMG_ROWS}_s42_b8"
+
+
+def ensure_bench_image_table(spark) -> str:
+    marker = Path(BENCH_IMG_DIR) / "_SUCCESS_GEN"
+    if not marker.exists():
+        from dcc_validate_metadata_spark.sources.image_table import (
+            generate_image_table_distributed,
+        )
+
+        generate_image_table_distributed(spark, BENCH_IMG_DIR, n_rows=BENCH_IMG_ROWS)
+        marker.touch()
+    return BENCH_IMG_DIR
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from dcc_validate_metadata_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    from dcc_validate_metadata_spark.plans.pipeline import build_violations
+    from dcc_validate_metadata_spark.queries import relational as R
+    from dcc_validate_metadata_spark.queries import trainingdata as TD
+    from dcc_validate_metadata_spark.sources.image_table import load_image_table
+    from dcc_validate_metadata_spark.operators import dedup as D
+
+    # -- primary metric: full validation pass over the image table --------
+    img_path = ensure_bench_image_table(spark)
+    img = load_image_table(spark, img_path)
+    onto = spark.createDataFrame(
+        [("FMT:0001", "png"), ("FMT:0002", "jpeg"), ("FMT:0003", "webp")],
+        "term string, label string",
+    )
+    t0 = time.time()
+    force(build_violations(img, ontology=onto))
+    t_validate = time.time() - t0
+    rows_per_sec = BENCH_IMG_ROWS / t_validate
+
+    # -- headline query pack ----------------------------------------------
+    def bench_simhash_banded(spark, sf_dir):
+        sim = D.simhash_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        return D.simhash_pairs_banded(sim, max_hamming=12)
+
+    headline = {
+        "img_validate": lambda s, d: build_violations(
+            load_image_table(s, img_path), ontology=onto
+        ),
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "j3_multiway_join": R.j3_multiway_join,
+        "j2_semi_join": R.j2_semi_join,
+        "o3_window_topn": R.o3_window_topn,
+        "w1_running_sum": R.w1_running_sum,
+        "dd_minhash_lsh": TD.dd_minhash_lsh,
+        "dd_simhash_banded": bench_simhash_banded,
+        "dd_embedding_lsh": lambda s, d: D.embedding_cosine_pairs_lsh(
+            s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5
+        ),
+        "ann_topk_bruteforce": TD.ann_topk_bruteforce,
+        "txt_quality": TD.txt_quality,
+        "dd_exact_groups": TD.dd_exact_groups,
+    }
+    times: dict[str, float] = {"img_validate": round(t_validate, 3)}
+    for name, fn in headline.items():
+        if name == "img_validate":
+            continue
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "rows_validated_per_sec": round(rows_per_sec, 1),
+                "img_rows": BENCH_IMG_ROWS,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

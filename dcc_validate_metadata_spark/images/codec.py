@@ -63,6 +63,9 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
     """Undo PNG scanline filters (types 0-4). raw is (h, 1 + w*bpp) uint8."""
     stride = w * bpp
+    ftypes = raw[:, 0]
+    if not ftypes.any():  # all filter 0 (None): one slice, no per-line loop
+        return raw[:, 1:].reshape(h, w, bpp)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):

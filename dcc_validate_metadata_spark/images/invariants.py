@@ -47,18 +47,22 @@ def decode_check_violations(
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            # plain-list extraction once per batch: pandas .iloc per row
+            # costs more than the decode itself at Arrow batch sizes
+            keep_l = {c: b[c].tolist() for c in keep}
+            data_l = b["bytes"].tolist()
+            w_l, h_l, fmt_l = b["w"].tolist(), b["h"].tolist(), b["fmt"].tolist()
             rows = {c: [] for c in keep}
             fields, sevs, msgs = [], [], []
 
             def emit(i: int, fld: str, msg: str) -> None:
                 for c in keep:
-                    rows[c].append(b[c].iloc[i])
+                    rows[c].append(keep_l[c][i])
                 fields.append(fld)
                 sevs.append("error")
                 msgs.append(msg)
 
-            for i in range(len(b)):
-                data = b["bytes"].iloc[i]
+            for i, data in enumerate(data_l):
                 if data is None:
                     continue  # presence handled by the mandatory rule
                 try:
@@ -67,12 +71,11 @@ def decode_check_violations(
                     emit(i, "bytes", M.msg_decode_failed(str(e)))
                     continue
                 dh, dw = pix.shape[:2]
-                w, h = b["w"].iloc[i], b["h"].iloc[i]
+                w, h = w_l[i], h_l[i]
                 if dw != w or dh != h:
                     emit(i, "bytes", M.msg_dims_mismatch(dw, dh, w, h))
-                fmt = b["fmt"].iloc[i]
-                if container != fmt:
-                    emit(i, "bytes", M.msg_fmt_mismatch(container, fmt))
+                if container != fmt_l[i]:
+                    emit(i, "bytes", M.msg_fmt_mismatch(container, fmt_l[i]))
             out = pd.DataFrame(rows)
             out["field"], out["severity"], out["message"] = fields, sevs, msgs
             yield out
@@ -102,30 +105,34 @@ def invariant_violations(
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            keep_l = {c: b[c].tolist() for c in keep}
+            id_l = b["image_id"].tolist()
+            cap_l, gcap_l = b["caption"].tolist(), b["gt_caption"].tolist()
+            data_l = b["bytes"].tolist()
+            gw_l, gh_l = b["gt_w"].tolist(), b["gt_h"].tolist()
+            gpix_l = b["gt_pixels"].tolist()
             rows = {c: [] for c in keep}
             fields, sevs, msgs = [], [], []
 
             def emit(i: int, fld: str, msg: str) -> None:
                 for c in keep:
-                    rows[c].append(b[c].iloc[i])
+                    rows[c].append(keep_l[c][i])
                 fields.append(fld)
                 sevs.append("error")
                 msgs.append(msg)
 
-            for i in range(len(b)):
-                cap = b["caption"].iloc[i]
-                gcap = b["gt_caption"].iloc[i]
+            for i, data in enumerate(data_l):
+                cap, gcap = cap_l[i], gcap_l[i]
                 if (cap if cap is not None else "") != (gcap if gcap is not None else ""):
-                    emit(i, "caption", M.msg_caption_mismatch(b["image_id"].iloc[i]))
-                data = b["bytes"].iloc[i]
+                    emit(i, "caption", M.msg_caption_mismatch(id_l[i]))
                 if data is None:
                     continue
                 try:
                     pix, _ = decode_image(bytes(data))
                 except Exception:  # decode failures are decode_check's job
                     continue
-                gw, gh = int(b["gt_w"].iloc[i]), int(b["gt_h"].iloc[i])
-                gpix = np.frombuffer(bytes(b["gt_pixels"].iloc[i]), dtype=np.uint8)
+                gw, gh = int(gw_l[i]), int(gh_l[i])
+                gpix = np.frombuffer(bytes(gpix_l[i]), dtype=np.uint8)
                 if gpix.size != gh * gw * 3 or pix.shape != (gh, gw, 3):
                     continue  # dims mismatch is decode_check's job
                 p = psnr(pix, gpix.reshape(gh, gw, 3))

@@ -108,14 +108,18 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """(id, mh_0 … mh_{k-1}): k independent min-hashes per doc, computed in
-    ONE aggregation pass (k min() aggs over k salted hash columns)."""
+    """(id, mh_0 … mh_{k-1}): k min-hashes per doc in ONE aggregation pass.
+
+    Double hashing: h_i(s) = h1(s) + i*h2(s) with h1/h2 the two 48-bit
+    halves of ONE md5 — one digest per shingle instead of k (Kirsch &
+    Mitzenmacher's composition, standard for Bloom/MinHash families).
+    i*h2 <= 31*2^48 < 2^54, so the arithmetic is exact in int64 and the
+    DuckDB oracle reproduces every signature value bit-for-bit."""
+    md5 = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(md5, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 13, 12), 16, 10).cast("long")
     hashed = shingles.select(
-        "id",
-        *[
-            hash64(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        "id", *[(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
@@ -307,6 +311,39 @@ def embedding_cosine_pairs(
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", round4(cos).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket join, exact
+    cosine only within buckets — O(N^2/2^bits) pairs instead of O(N^2).
+    High-cosine pairs land in the same bucket with high probability
+    (collision prob per bit = 1 - theta/pi); recall tunable via n_bits."""
+    from .similarity import hyperplanes, lsh_bucket
+
+    planes = hyperplanes(dim, n_bits, seed)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", round4(cos).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -29,9 +29,6 @@ from pyspark.sql import functions as F
 
 from .. import __version__
 from ..images.invariants import decode_check_violations, invariant_violations
-from ..operators.referential import dangling_ref_violations
-from ..operators.uniqueness import uniqueness_violations
-from ..rules.compiler import violations_for
 from ..rules.model import Ruleset, default_image_ruleset
 from .manifest import Manifest
 
@@ -55,17 +52,88 @@ def build_violations(
     gt: DataFrame | None = None,
     psnr_min: float = 40.0,
 ) -> DataFrame:
-    """All violation families unioned; lazy — one DataFrame, no action."""
+    """All violation families as ONE wide pass over the fact table plus an
+    Arrow decode branch — lazy, no action.
+
+    Set-level (uniqueness) and join-level (referential) checks fold into
+    the same ``select`` as the row rules: the duplicate-key tables from the
+    salted two-phase agg and the ontology key set are tiny by construction,
+    so they broadcast onto the main scan and every non-UDF violation struct
+    is emitted from a single exploded array (the reference's three Celery
+    chord branches — SURVEY.md §3.1 — collapse into one stage). The table
+    is scanned with ``bytes`` pruned away; only the decode branch reads it.
+    """
+    from pyspark.sql import functions as F  # local alias for fused exprs
+    from ..operators.uniqueness import duplicate_keys
+    from ..rules.compiler import VIOLATION_SCHEMA, compile_rule
+
     ruleset = ruleset or default_image_ruleset()
-    parts = [violations_for(df, ruleset, KEEP)]
-    uniq_fields = [r.field for r in ruleset.unique_rules]
-    if uniq_fields:
-        parts.append(uniqueness_violations(df, uniq_fields, KEEP))
-    for r in ruleset.ref_rules:
-        if ontology is not None:
-            parts.append(
-                dangling_ref_violations(df, r.field, ontology, "label", KEEP)
+
+    exprs = []
+    for rule in ruleset.row_rules:
+        col = compile_rule(rule, df, ruleset.table)
+        if col is not None:
+            exprs.append(col)
+
+    main = df
+    # uniqueness: per-field dup tables (salted two-phase agg), broadcast back
+    for i, rule in enumerate(ruleset.unique_rules):
+        fld = rule.field
+        dups = duplicate_keys(df, fld).withColumnRenamed("n", f"_dupn_{i}")
+        main = main.join(F.broadcast(dups), on=fld, how="left")
+        exprs.append(
+            F.when(
+                F.col(f"_dupn_{i}").isNotNull(),
+                F.struct(
+                    F.lit(fld).alias("field"),
+                    F.lit("error").alias("severity"),
+                    F.concat(
+                        F.lit(f"Field '{fld}' value '"),
+                        F.col(fld).cast("string"),
+                        F.lit("' occurs "),
+                        F.col(f"_dupn_{i}").cast("string"),
+                        F.lit(" times but must be unique"),
+                    ).alias("message"),
+                ),
             )
+        )
+    # referential: broadcast ontology key set, null-match → dangling
+    if ontology is not None:
+        for i, rule in enumerate(ruleset.ref_rules):
+            fld = rule.field
+            keys = ontology.select(
+                F.lower(F.col("label")).alias(f"_refk_{i}")
+            ).distinct()
+            main = main.join(
+                F.broadcast(keys),
+                on=F.lower(F.col(fld)) == F.col(f"_refk_{i}"),
+                how="left",
+            )
+            exprs.append(
+                F.when(
+                    F.col(fld).isNotNull() & F.col(f"_refk_{i}").isNull(),
+                    F.struct(
+                        F.lit(fld).alias("field"),
+                        F.lit("error").alias("severity"),
+                        F.concat(
+                            F.lit("Couldn't find term '"),
+                            F.col(fld).cast("string"),
+                            F.lit(f"' in ontology for field '{fld}'"),
+                        ).alias("message"),
+                    ),
+                )
+            )
+
+    arr = (
+        F.filter(F.array(*exprs), lambda x: x.isNotNull())
+        if exprs
+        else F.array().cast(f"array<{VIOLATION_SCHEMA.simpleString()}>")
+    )
+    fused = main.select(*KEEP, F.explode(arr).alias("v")).select(
+        *KEEP, "v.field", "v.severity", "v.message"
+    )
+
+    parts = [fused]
     if ruleset.udf_rules:
         parts.append(decode_check_violations(df, KEEP))
         if gt is not None:
@@ -138,7 +206,6 @@ def run_validation(
         )
 
     violations = build_violations(df, ruleset=ruleset, ontology=ontology, gt=gt)
-    verdicts = build_verdicts(df, violations)
 
     (
         violations.repartition(*PART_KEYS)
@@ -146,6 +213,14 @@ def run_validation(
         .partitionBy(*PART_KEYS)
         .parquet(str(out / "violations"))
     )
+    # verdicts from the just-written parquet, NOT the logical plan — the
+    # lineage would otherwise recompute every rule family a second time
+    violations_on_disk = spark.read.parquet(str(out / "violations")).select(
+        F.col("fmt").cast("string").alias("fmt"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "image_id", "field", "severity", "message",
+    )
+    verdicts = build_verdicts(df, violations_on_disk)
     verdicts_rows = verdicts.collect()  # tiny: one row per partition
     verdicts.write.mode("overwrite").parquet(str(out / "verdicts"))
 

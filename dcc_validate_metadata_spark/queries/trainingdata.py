@@ -107,9 +107,9 @@ def dd_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_sql() -> str:
-    hash_cols = ",\n         ".join(
-        f"{_H64.format(x=repr(f'{i}:') + ' || s')} AS h{i}" for i in range(NUM_HASHES)
-    )
+    # double hashing: h_i = h1 + i*h2, h1/h2 = 48-bit md5 halves (exact
+    # int64 arithmetic — mirrors operators/dedup.py minhash_signatures)
+    hash_cols = ",\n         ".join(f"(h1 + {i} * h2) AS h{i}" for i in range(NUM_HASHES))
     min_cols = ", ".join(f"min(h{i}) AS mh_{i}" for i in range(NUM_HASHES))
     n_bands = NUM_HASHES // BAND_ROWS
     band_rows = "\n  UNION ALL\n".join(
@@ -123,9 +123,15 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH {_SHINGLES_CTE},
+base_h AS (
+  SELECT id,
+         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+  FROM sh
+),
 hashed AS (
   SELECT id, {hash_cols}
-  FROM sh
+  FROM base_h
 ),
 sig AS (SELECT id, {min_cols} FROM hashed GROUP BY id),
 bands AS (
