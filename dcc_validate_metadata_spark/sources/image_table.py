@@ -86,13 +86,13 @@ def _bucket_of(image_id: str, n_buckets: int) -> int:
     return zlib.crc32(image_id.encode()) % n_buckets
 
 
-def _gen_row(idx: int, seed: int, n_buckets: int) -> _Row:
+def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
     rng = np.random.default_rng(seed * 1_000_003 + idx)
     slot = idx % _CYCLE
 
-    w = h = 32
+    w = h = hw
     if slot == 95:
-        w, h = 32, 16  # rectangular so swapped declares actually mismatch
+        w, h = hw, hw // 2  # rectangular so swapped declares actually mismatch
     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
     r = rng.random()
@@ -384,15 +384,18 @@ def generate_image_table_distributed(
     seed: int = 42,
     n_buckets: int = 8,
     n_tasks: int | None = None,
+    hw: int = 32,
 ) -> None:
     """Executor-side generation for bench-scale tables: deterministic per
     index, encoded in parallel via ``mapInPandas`` — the shape a real 10^12
-    backfill would take (no driver bottleneck, no collect)."""
+    backfill would take (no driver bottleneck, no collect). ``hw`` sets the
+    square image edge; bench/scaling tables use larger images than the unit
+    fixture so per-row decode compute is realistic."""
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [_gen_row(int(i), seed, n_buckets) for i in b["id"]]
+            rows = [_gen_row(int(i), seed, n_buckets, hw=hw) for i in b["id"]]
             yield _rows_to_pdf(rows)
 
     (

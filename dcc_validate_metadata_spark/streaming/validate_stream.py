@@ -1,0 +1,117 @@
+"""Structured Streaming ingestion validation.
+
+The reference has no true stream processing (SURVEY.md §2.8) — its
+streaming-shaped surface is Celery task fan-out plus WebSocket progress
+events (``metadata_validation_conversion/helpers.py:67-109``,
+``ws/consumers.py:6-96``). At 10^12-image scale the natural analogue is
+continuous ingestion: new image+caption files land in the table location
+and must be validated as they arrive, emitting violations and per-batch
+status events incrementally.
+
+Spark-first realization:
+
+* ``readStream`` over the table directory (file-source; Iceberg's
+  streaming read on a real cluster) with the fixed input schema — schema
+  is enforced at the source, no inference on executors.
+* Every micro-batch runs the SAME ``build_violations`` plan as the batch
+  pipeline (one code path for both — the rules are lazy Column
+  expressions, so reuse is free).
+* ``foreachBatch`` appends violations parquet and one manifest JSONL
+  status record per batch — the streaming equivalent of the reference's
+  per-stage WS pushes (`Waiting` → … → `Finished`), durable instead of
+  fire-and-forget.
+* ``Trigger.AvailableNow`` drains the backlog then stops, which is also
+  what the unit tests use; on a live cluster drop the trigger for a
+  long-running query. Checkpointing makes restarts exactly-once per
+  batch (the reference's visibility-timeout gives only at-least-once).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.image_table import IMAGE_SCHEMA
+
+
+def stream_status_events(out_dir: str | Path) -> list[dict]:
+    """Read back the per-batch status events (newest last)."""
+    d = Path(out_dir) / "stream_status"
+    if not d.exists():
+        return []
+    recs = []
+    for f in sorted(d.glob("batch-*.json")):
+        recs.append(json.loads(f.read_text()))
+    return recs
+
+
+def validate_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    ontology: DataFrame | None = None,
+    ruleset=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now=True`` run to completion) a
+    streaming validation over ``input_path``. Returns the StreamingQuery.
+
+    Outputs under ``out_dir``:
+      ``violations/`` — appended parquet, partitioned by (fmt, bucket)
+      ``stream_status/batch-N.json`` — one status event per micro-batch
+      ``checkpoint/`` — Spark streaming checkpoint (restart-safe)
+    """
+    from ..plans.pipeline import build_violations
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    status_dir = out / "stream_status"
+    status_dir.mkdir(exist_ok=True)
+
+    # The staging dir is column-complete flat parquet (an ingestion landing
+    # zone, not the fmt=/bucket=/ partitioned table): file-stream sources
+    # don't do hive-partition discovery, so all 8 columns live in-file.
+    reader = spark.readStream.schema(IMAGE_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(str(input_path))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        n_rows = batch_df.count()
+        violations = build_violations(batch_df, ruleset=ruleset, ontology=ontology)
+        (
+            violations.write.mode("append")
+            .partitionBy("fmt", "bucket")
+            .parquet(str(out / "violations"))
+        )
+        n_viol = spark.read.parquet(str(out / "violations")).count()
+        event = {
+            "batch_id": int(batch_id),
+            "status": "Finished",
+            "n_rows": int(n_rows),
+            "total_violation_rows": int(n_viol),
+            "elapsed_sec": round(time.time() - t0, 3),
+            "finished": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = status_dir / f".batch-{batch_id}.{uuid.uuid4().hex[:6]}.tmp"
+        tmp.write_text(json.dumps(event))
+        os.rename(tmp, status_dir / f"batch-{batch_id}.json")
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", str(out / "checkpoint"))
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,78 @@
+"""Measurement child for scripts/scaling_bench.py.
+
+Launched via ``spark-submit --master local[N] --py-files engine.zip``
+(the north-rule launch mode, BASELINE.json) — so the master and core
+count come from spark-submit, NOT from the engine's session factory.
+Runs the full validation pass (row rules + salted uniqueness +
+broadcast referential + Arrow decode checks) over a pre-generated
+image+caption table, warm-up first, then timed runs, and prints ONE
+JSON line with the timings.
+
+Usage:
+    spark-submit --master local[8] --py-files engine.zip \
+        scripts/scaling_worker.py TABLE_PATH CORES N_WARMUP N_RUNS
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    table_path, cores, n_warmup, n_runs = (
+        sys.argv[1],
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        int(sys.argv[4]),
+    )
+
+    # same conf as dcc_validate_metadata_spark.session._BASE_CONF, but the
+    # master is whatever spark-submit set; shuffle partitions ≈ cores.
+    spark = (
+        SparkSession.builder.appName(f"scaling-worker-{cores}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    from dcc_validate_metadata_spark.plans.pipeline import build_violations
+    from dcc_validate_metadata_spark.sources.image_table import load_image_table
+
+    onto = spark.createDataFrame(
+        [("FMT:0001", "png"), ("FMT:0002", "jpeg"), ("FMT:0003", "webp")],
+        "term string, label string",
+    )
+    df = load_image_table(spark, table_path)
+    n_rows = df.count()
+
+    def force() -> float:
+        t0 = time.time()
+        build_violations(df, ontology=onto).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    for _ in range(n_warmup):
+        force()
+    runs = [round(force(), 3) for _ in range(n_runs)]
+
+    print(
+        "SCALING_RESULT "
+        + json.dumps({"cores": cores, "rows": n_rows, "runs_sec": runs})
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Operator unit tests: uniqueness (salt invariance), column stats vs
+pandas, drift detection (planted drifted partition), and partial manifest
+resume (SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dcc_validate_metadata_spark.operators.drift import (
+    chi_square_drift,
+    histogram_by_partition,
+    ks_drift_from_quantiles,
+)
+from dcc_validate_metadata_spark.operators.stats import column_stats
+from dcc_validate_metadata_spark.operators.uniqueness import duplicate_keys
+
+
+# ---------------------------------------------------------------- uniqueness
+def test_duplicate_keys_matches_pandas_and_salt_invariant(spark, fixture_dir):
+    from dcc_validate_metadata_spark.sources.image_table import load_image_table
+
+    df = load_image_table(spark, fixture_dir / "image_caption")
+    pdf = df.select("image_id").toPandas()
+    expected = (
+        pdf.groupby("image_id").size().reset_index(name="n").query("n > 1")
+    )
+    for n_salts in (1, 4, 64):
+        got = (
+            duplicate_keys(df, "image_id", n_salts=n_salts)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert got["image_id"].tolist() == sorted(expected["image_id"])
+        assert got.set_index("image_id")["n"].to_dict() == (
+            expected.set_index("image_id")["n"].to_dict()
+        )
+
+
+# --------------------------------------------------------------------- stats
+def test_column_stats_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 50 + ["b"] * 30,
+            "x": list(range(50)) + [None] * 5 + list(range(25)),
+            "s": ["v"] * 79 + [None],
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"x": "object"}))
+    out = column_stats(df, group_cols=["g"]).toPandas()
+    xa = out[(out.g == "a") & (out["column"] == "x")].iloc[0]
+    assert xa["count"] == 50 and xa["n_null"] == 0
+    assert xa["min"] == 0.0 and xa["max"] == 49.0
+    assert abs(xa["mean"] - 24.5) < 1e-9
+    xb = out[(out.g == "b") & (out["column"] == "x")].iloc[0]
+    assert xb["count"] == 30 and xb["n_null"] == 5
+    assert xb["null_rate"] == pytest.approx(5 / 30)
+    sb = out[(out.g == "b") & (out["column"] == "s")].iloc[0]
+    assert sb["n_null"] == 1 and pd.isna(sb["mean"])
+
+
+# --------------------------------------------------------------------- drift
+@pytest.fixture(scope="module")
+def drift_df(spark):
+    rng = np.random.default_rng(7)
+    parts = []
+    for p in ["p0", "p1", "p2"]:
+        parts.append(
+            pd.DataFrame({"part": p, "v": rng.normal(100.0, 10.0, 4000)})
+        )
+    # planted drift: shifted mean
+    parts.append(pd.DataFrame({"part": "p_drift", "v": rng.normal(140.0, 10.0, 4000)}))
+    return spark.createDataFrame(pd.concat(parts))
+
+
+def test_chi_square_flags_only_drifted(spark, drift_df):
+    hist = histogram_by_partition(drift_df, "v", ["part"], n_bins=16, lo=50.0, hi=200.0)
+    res = chi_square_drift(hist, ["part"], {"part": "p0"}, n_bins=16)
+    flags = {r["partition"]["part"]: r["drifted"] for r in res}
+    assert flags["p_drift"] is True
+    assert flags["p1"] is False and flags["p2"] is False
+
+
+def test_ks_flags_only_drifted(spark, drift_df):
+    res = ks_drift_from_quantiles(drift_df, "v", ["part"], {"part": "p0"})
+    flags = {r["partition"]["part"]: r["drifted"] for r in res}
+    ks = {r["partition"]["part"]: r["ks"] for r in res}
+    assert flags["p_drift"] is True and ks["p_drift"] > 0.5
+    assert flags["p1"] is False and flags["p2"] is False
+
+
+# ------------------------------------------------------------ partial resume
+def test_partial_manifest_resume(spark, fixture_dir, tmp_path):
+    """Kill-after-K-partitions simulation: pre-commit a manifest covering a
+    subset of partitions; the next run must scan only the remainder and the
+    union of outputs must equal a clean full run."""
+    from dcc_validate_metadata_spark.plans.manifest import Manifest
+    from dcc_validate_metadata_spark.plans.pipeline import run_validation
+    from dcc_validate_metadata_spark.sources.image_table import load_image_table
+
+    ontology = spark.read.parquet(str(fixture_dir / "ontology_terms.parquet"))
+    df = load_image_table(spark, fixture_dir / "image_caption")
+    part_counts = {
+        (r["fmt"], r["bucket"]): r["n"]
+        for r in df.groupBy("fmt", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    done_subset = sorted(part_counts)[: len(part_counts) // 2]
+
+    out = tmp_path / "partial"
+    Manifest(out).commit(
+        [{"fmt": f, "bucket": b, "status": "done"} for f, b in done_subset]
+    )
+    r = run_validation(
+        spark, str(fixture_dir / "image_caption"), str(out), ontology=ontology
+    )
+    assert r.skipped_partitions == len(done_subset)
+    expected_rows = sum(
+        n for k, n in part_counts.items() if k not in set(done_subset)
+    )
+    assert r.n_rows == expected_rows
+    # violations written only for the un-skipped partitions
+    written = spark.read.parquet(str(out / "violations"))
+    got_parts = {
+        (r["fmt"], int(r["bucket"]))
+        for r in written.select("fmt", "bucket").distinct().collect()
+    }
+    assert got_parts.isdisjoint(set(done_subset))
