@@ -22,8 +22,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-BENCH_IMG_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_ROWS", "100000"))
-BENCH_IMG_DIR = f"/tmp/dcc_vm_bench_n{BENCH_IMG_ROWS}_s42_b8"
+# Same table the scaling bench uses (600k rows, 64x64 RGB) so the headline
+# rows-validated/sec and the BENCH.md scaling curve measure one workload.
+BENCH_IMG_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_ROWS", "600000"))
+BENCH_IMG_HW = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_HW", "64"))
+BENCH_IMG_DIR = f"/tmp/dcc_vm_scale_n{BENCH_IMG_ROWS}_hw{BENCH_IMG_HW}_s42_b8"
 
 
 def ensure_bench_image_table(spark) -> str:
@@ -33,7 +36,9 @@ def ensure_bench_image_table(spark) -> str:
             generate_image_table_distributed,
         )
 
-        generate_image_table_distributed(spark, BENCH_IMG_DIR, n_rows=BENCH_IMG_ROWS)
+        generate_image_table_distributed(
+            spark, BENCH_IMG_DIR, n_rows=BENCH_IMG_ROWS, hw=BENCH_IMG_HW
+        )
         marker.touch()
     return BENCH_IMG_DIR
 
@@ -66,9 +71,10 @@ def main() -> None:
         [("FMT:0001", "png"), ("FMT:0002", "jpeg"), ("FMT:0003", "webp")],
         "term string, label string",
     )
-    force(build_violations(img, ontology=onto))  # warm-up, untimed
+    for _ in range(2):  # warm-up, untimed (JIT + heap growth + page cache)
+        force(build_violations(img, ontology=onto))
     validate_runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         force(build_violations(img, ontology=onto))
         validate_runs.append(time.time() - t0)

@@ -32,7 +32,7 @@ _BASE_CONF = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": "48g",
+    "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
 }
 
