@@ -39,7 +39,12 @@ def _viol_schema(keep: list[str], df: DataFrame) -> str:
 def decode_check_violations(
     df: DataFrame,
     keep_cols: list[str],
+    missing_msg: str | None = None,
 ) -> DataFrame:
+    """``missing_msg``: when set, a NULL ``bytes`` cell emits this
+    mandatory-presence error here — the fused column pass must NOT carry
+    the presence check, or its scan would read the binary column just for
+    ``isNotNull`` (this branch is the only one allowed to scan ``bytes``)."""
     keep = list(keep_cols)
     needed = list(dict.fromkeys(keep + ["bytes", "w", "h", "fmt"]))
     src = df.select(*needed)
@@ -64,7 +69,9 @@ def decode_check_violations(
 
             for i, data in enumerate(data_l):
                 if data is None:
-                    continue  # presence handled by the mandatory rule
+                    if missing_msg is not None:
+                        emit(i, "bytes", missing_msg)
+                    continue
                 try:
                     pix, container = decode_image(bytes(data))
                 except Exception as e:  # noqa: BLE001

@@ -67,10 +67,25 @@ def build_violations(
     from ..operators.uniqueness import duplicate_keys
     from ..rules.compiler import VIOLATION_SCHEMA, compile_rule
 
+    from pyspark.sql import types as T
+
     ruleset = ruleset or default_image_ruleset()
 
+    # presence checks on BINARY columns move into the decode branch: even
+    # `bytes IS NOT NULL` forces the scan to read the payload pages, and
+    # only the decode branch may touch `bytes` (PLANS.md audit)
+    binary_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
+    }
+    binary_missing_msg = None
     exprs = []
     for rule in ruleset.row_rules:
+        if rule.kind == "mandatory" and rule.field in binary_cols:
+            if rule.tier == "mandatory" and ruleset.udf_rules:
+                binary_missing_msg = (
+                    f"Field '{rule.field}' is mandatory but no value was provided"
+                )
+                continue
         col = compile_rule(rule, df, ruleset.table)
         if col is not None:
             exprs.append(col)
@@ -135,10 +150,45 @@ def build_violations(
 
     parts = [fused]
     if ruleset.udf_rules:
-        parts.append(decode_check_violations(df, KEEP))
+        parts.append(
+            decode_check_violations(df, KEEP, missing_msg=binary_missing_msg)
+        )
         if gt is not None:
             parts.append(invariant_violations(df, gt, KEEP, psnr_min=psnr_min))
     return reduce(DataFrame.unionByName, parts)
+
+
+ANNOTATE_FIELDS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+def build_annotated(df: DataFrame, violations: DataFrame) -> DataFrame:
+    """S6 mapping (submission/AnnotateTemplate.py:13-214): the annotated-
+    template sink becomes a WIDE overlay — one row per distinct
+    (fmt, bucket, image_id), one ``<field>_issues`` column per template
+    field holding the sorted '|'-joined ``severity:message`` list (empty
+    string when clean). One groupBy over the small violations table plus a
+    left join back onto the distinct row keys."""
+    msg = F.concat(F.col("severity"), F.lit(":"), F.col("message"))
+    agg = violations.groupBy(*KEEP).agg(
+        *[
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(F.when(F.col("field") == fld, msg))
+                ),
+            ).alias(f"{fld}_issues")
+            for fld in ANNOTATE_FIELDS
+        ]
+    )
+    keys = df.select(*KEEP).distinct()
+    out = keys.join(agg, on=KEEP, how="left")
+    return out.select(
+        *KEEP,
+        *[
+            F.coalesce(F.col(f"{fld}_issues"), F.lit("")).alias(f"{fld}_issues")
+            for fld in ANNOTATE_FIELDS
+        ],
+    )
 
 
 def build_verdicts(df: DataFrame, violations: DataFrame) -> DataFrame:

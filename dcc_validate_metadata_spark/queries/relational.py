@@ -17,6 +17,12 @@ Coverage map (operator id → query):
   U1 union fan-out → u1_union_fanout      U2 dedup → u2_distinct_pairs
   F1 snake case → f1_snake_case           F3 date handling → f3_date_agg
   F10 array join → f10_array_join         F11 checksum → f11_checksum
+  P1 structure projection+NULL fill → p1_structure_projection
+  J11 derived back-link → j11_derived_backlink
+  A4 hit count → a4_hit_count             A6 distinct sets → a6_distinct_sets
+  F2 case transforms → f2_case_transforms F4 leading zero → f4_leading_zero
+  F5 lower-label match → f5_lower_label_match
+  F8 nested flatten → f8_nested_flatten   F12 JSON→struct → f12_json_struct
   TPC-H-style pricing rollup → q1_pricing_summary
 
 Plan-shape notes are in each docstring; see scripts/explain_plans.py for
@@ -642,6 +648,193 @@ FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
 """
 
 
+# ----------------------------------------------- remaining §2 inventory rows
+
+def p1_structure_projection(spark, sf_dir):
+    """P1: structure-aligned projection with NULL fill — re-project onto a
+    template schema, absent template columns become typed NULLs
+    (validation/helpers.py:84-146 get_record_structure/convert_to_none)."""
+    template = [("c_custkey", "long"), ("c_name", "string"),
+                ("c_mktsegment", "string"), ("c_phone", "string"),
+                ("c_comment", "string")]
+    df = _t(spark, sf_dir, "customer")
+    cols = [
+        (F.col(name) if name in df.columns else F.lit(None)).cast(t).alias(name)
+        for name, t in template
+    ]
+    return df.select(*cols).filter(F.col("c_custkey") <= 50).orderBy("c_custkey")
+
+
+P1_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       NULL AS c_phone, NULL AS c_comment
+FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+"""
+
+
+def j11_derived_backlink(spark, sf_dir):
+    """J11: derived back-link — keys present in the child table whose
+    parent didn't match the primary filter, surfaced as implied parents
+    (api/views.py:102-108: files matched but no dataset did)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    matched = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.select("l_orderkey")
+        .distinct()
+        .join(matched.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
+        .orderBy("l_orderkey")
+    )
+
+
+J11_SQL = """
+SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY l_orderkey
+"""
+
+
+def a4_hit_count(spark, sf_dir):
+    """A4: hit-count rollup (track_total_hits) — filtered count."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).alias("total_hits")
+    )
+
+
+A4_SQL = "SELECT count(*) AS total_hits FROM events WHERE event_type = 'purchase'"
+
+
+def a6_distinct_sets(spark, sf_dir):
+    """A6: distinct-set accumulation before a batch lookup — the
+    driver-side set() of ids becomes a distributed DISTINCT
+    (validation/RelationshipsIssues.py:13-24)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    ).orderBy("event_type")
+
+
+A6_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def f2_case_transforms(spark, sf_dir):
+    """F2: remove_underscores / case cosmetic transforms for export
+    (submission/helpers.py:20-36)."""
+    return (
+        _t(spark, sf_dir, "region")
+        .select(
+            F.lower(F.regexp_replace("r_name", " ", "_")).alias("snake"),
+            F.upper(F.col("r_name")).alias("upper_name"),
+            F.regexp_replace(F.lower(F.col("r_name")), "_", " ").alias("display"),
+        )
+        .orderBy("snake")
+    )
+
+
+F2_SQL = """
+SELECT lower(replace(r_name, ' ', '_')) AS snake,
+       upper(r_name) AS upper_name,
+       replace(lower(r_name), '_', ' ') AS display
+FROM region ORDER BY 1
+"""
+
+
+def f4_leading_zero(spark, sf_dir):
+    """F4: add_leading_zero — lpad numeric fragments to fixed width
+    (conversion/ReadExcelFile.py:446-456 date-serial repair)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+F4_SQL = """
+SELECT p_partkey, lpad(p_size::VARCHAR, 4, '0') AS size_padded,
+       lpad(p_partkey::VARCHAR, 10, '0') AS key_padded
+FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+"""
+
+
+def f5_lower_label_match(spark, sf_dir):
+    """F5: case-insensitive label matching — join on lower() equality
+    (WarningsAndAdditionalChecks.py:292-320 check_ols)."""
+    e = _t(spark, sf_dir, "events")
+    labels = (
+        e.select(F.upper("event_type").alias("label")).distinct()
+    )
+    return (
+        e.join(labels, F.lower(e["event_type"]) == F.lower(labels["label"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )
+
+
+F5_SQL = """
+WITH labels AS (SELECT DISTINCT upper(event_type) AS label FROM events)
+SELECT l.label, count(*) AS n
+FROM events e JOIN labels l ON lower(e.event_type) = lower(l.label)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def f8_nested_flatten(spark, sf_dir):
+    """F8: nested-struct flattening to dotted paths — build the nested doc
+    shape, then flatten via struct field access
+    (graphql_api/grapheneObjects/helpers.py:15-43 flatten_json)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(F.col("c_mktsegment").alias("segment")).alias("meta"),
+        ).alias("doc"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("doc.name").alias("doc_name"),
+        F.col("doc.meta.segment").alias("doc_meta_segment"),
+    ).orderBy("c_custkey")
+
+
+F8_SQL = """
+SELECT c_custkey, c_name AS doc_name, c_mktsegment AS doc_meta_segment
+FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+"""
+
+
+def f12_json_struct(spark, sf_dir):
+    """F12: annotation JSON → typed struct projection (from_json with an
+    explicit schema; ontology_improver/utils.py:1-18 Zooma parse)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") < 5))
+        .orderBy("event_id")
+    )
+
+
+F12_SQL = """
+SELECT event_id, try_cast(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE try_cast(json_extract_string(props, '$.k') AS INT) < 5
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "a1_terms_top": (a1_terms_top, A1_SQL),
     "a2_json_agg": (a2_json_agg, A2_SQL),
@@ -673,4 +866,13 @@ QUERIES = {
     "f3_date_agg": (f3_date_agg, F3_SQL),
     "f10_array_join": (f10_array_join, F10_SQL),
     "f11_checksum": (f11_checksum, F11_SQL),
+    "p1_structure_projection": (p1_structure_projection, P1_SQL),
+    "j11_derived_backlink": (j11_derived_backlink, J11_SQL),
+    "a4_hit_count": (a4_hit_count, A4_SQL),
+    "a6_distinct_sets": (a6_distinct_sets, A6_SQL),
+    "f2_case_transforms": (f2_case_transforms, F2_SQL),
+    "f4_leading_zero": (f4_leading_zero, F4_SQL),
+    "f5_lower_label_match": (f5_lower_label_match, F5_SQL),
+    "f8_nested_flatten": (f8_nested_flatten, F8_SQL),
+    "f12_json_struct": (f12_json_struct, F12_SQL),
 }

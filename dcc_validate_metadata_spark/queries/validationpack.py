@@ -151,6 +151,52 @@ WHERE w IS NOT NULL GROUP BY 1, 2 ORDER BY fmt, bin
 """
 
 
+def img_annotated_overlay(spark, sf_dir):
+    """S6 annotated-template sink as a wide overlay: per row key, one
+    ``<field>_issues`` column with the sorted severity:message list;
+    oracle rebuilds the same overlay from the golden violation rows."""
+    from ..plans.pipeline import build_annotated, build_violations
+
+    df = _load(spark)
+    onto = spark.read.parquet(_ONTO)
+    gt = spark.read.parquet(_GT)
+    viol = build_violations(df, ontology=onto, gt=gt)
+    return build_annotated(df, viol)
+
+
+_ANNOT_AGGS = ",\n       ".join(
+    f"coalesce(string_agg(CASE WHEN field = '{fld}' THEN m END, '|' ORDER BY m), '')"
+    f" AS {fld}_issues"
+    for fld in ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+)
+
+IMG_ANNOTATED_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT fmt, bucket, image_id FROM read_parquet('{_IMG}')
+),
+v AS (
+  SELECT fmt, bucket, image_id, field,
+         severity || ':' || message AS m
+  FROM read_parquet('{_EXP_VIOL}')
+),
+agg AS (
+  SELECT fmt, bucket, image_id,
+       {_ANNOT_AGGS}
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT k.fmt, k.bucket, k.image_id,
+       coalesce(a.image_id_issues, '') AS image_id_issues,
+       coalesce(a.bytes_issues, '') AS bytes_issues,
+       coalesce(a.w_issues, '') AS w_issues,
+       coalesce(a.h_issues, '') AS h_issues,
+       coalesce(a.fmt_issues, '') AS fmt_issues,
+       coalesce(a.caption_issues, '') AS caption_issues,
+       coalesce(a.phash_issues, '') AS phash_issues
+FROM keys k LEFT JOIN agg a
+  ON a.fmt = k.fmt AND a.bucket = k.bucket AND a.image_id = k.image_id
+"""
+
+
 def rel_violations(spark, sf_dir):
     """Relationship checks (J5/J8/J9): dangling parent, material-pair
     whitelist, species equality, mutual-parent cycle — all as 1-hop
@@ -222,5 +268,6 @@ QUERIES = {
     "img_column_stats": (img_column_stats, IMG_STATS_SQL),
     "img_dup_phash": (img_dup_phash, IMG_DUP_SQL),
     "img_drift_hist": (img_drift_hist, IMG_DRIFT_SQL),
+    "img_annotated_overlay": (img_annotated_overlay, IMG_ANNOTATED_SQL),
     "rel_violations": (rel_violations, REL_SQL),
 }
