@@ -31,7 +31,47 @@ def ensure_fixture() -> Path:
             FIX_DIR, n_rows=FIXTURE_ROWS, seed=FIXTURE_SEED, n_buckets=FIXTURE_BUCKETS
         )
         marker.touch()
+    _ensure_samples_fixture()
     return FIX_DIR
+
+
+def _ensure_samples_fixture() -> None:
+    """FAANG-shaped samples sheet with (collection_date, units) pairs —
+    deterministic, planted date-unit mismatches in every ladder position
+    (reference semantics: WarningsAndAdditionalChecks.py:322-347)."""
+    marker = FIX_DIR / ".samples_done"
+    if marker.exists():
+        return
+    import pandas as pd
+
+    units_cycle = ["YYYY-MM-DD", "YYYY-MM", "YYYY"]
+    rows = []
+    for i in range(120):
+        units = units_cycle[i % 3]
+        day = i % 28 + 1
+        good = {
+            "YYYY-MM-DD": f"20{i % 25:02d}-{i % 12 + 1:02d}-{day:02d}",
+            "YYYY-MM": f"20{i % 25:02d}-{i % 12 + 1:02d}",
+            "YYYY": f"20{i % 25:02d}",
+        }[units]
+        value: str | None = good
+        if i % 11 == 3:
+            value = f"20{i % 25:02d}"  # narrower than declared units
+            if units == "YYYY":
+                value = f"20{i % 25:02d}-05-05"  # wider than declared
+        elif i % 11 == 7:
+            value = f"20{i % 25:02d}-13-40"  # regex-valid, parse-invalid
+            if units == "YYYY-MM":
+                value = f"20{i % 25:02d}-13"
+            elif units == "YYYY":
+                value = "999"  # too short
+        elif i % 11 == 9:
+            value = None
+        rows.append(
+            {"name": f"s_{i:03d}", "collection_date": value, "units": units}
+        )
+    pd.DataFrame(rows).to_parquet(FIX_DIR / "samples_dates.parquet", index=False)
+    marker.touch()
 
 
 ensure_fixture()
@@ -148,6 +188,48 @@ SELECT fmt,
        count(*) AS n
 FROM read_parquet('{_IMG}')
 WHERE w IS NOT NULL GROUP BY 1, 2 ORDER BY fmt, bin
+"""
+
+
+_SAMPLES = str(FIX_DIR / "samples_dates.parquet")
+
+
+def samples_date_unit(spark, sf_dir):
+    """F3/date_unit rule over a FAANG-shaped samples sheet: each
+    collection_date must parse under the format its units column names
+    (strict regex + calendar validity); oracle reimplements the ladder
+    with DuckDB try_strptime."""
+    from ..rules.compiler import violations_for
+    from ..rules.model import Rule, Ruleset
+
+    df = spark.read.parquet(_SAMPLES)
+    rs = Ruleset(
+        table="samples",
+        rules=(
+            Rule("collection_date", "date_unit", "mandatory", {"units_col": "units"}),
+        ),
+    )
+    return violations_for(df, rs, keep_cols=["name"]).orderBy("name")
+
+
+SAMPLES_DATE_SQL = f"""
+SELECT name, 'collection_date' AS field, 'error' AS severity,
+       'Date units: ' || units || ' should be consistent with date value: '
+         || collection_date AS message
+FROM read_parquet('{_SAMPLES}')
+WHERE collection_date IS NOT NULL AND trim(collection_date) <> ''
+  AND (
+    (units = 'YYYY-MM-DD' AND (
+       NOT regexp_matches(collection_date, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+       OR try_strptime(collection_date, '%Y-%m-%d') IS NULL))
+    OR (units = 'YYYY-MM' AND (
+       NOT regexp_matches(collection_date, '^\\d{{4}}-\\d{{2}}$')
+       OR try_strptime(collection_date, '%Y-%m') IS NULL))
+    OR (units = 'YYYY' AND (
+       NOT regexp_matches(collection_date, '^\\d{{4}}$')
+       OR try_strptime(collection_date, '%Y') IS NULL))
+  )
+ORDER BY name
 """
 
 
@@ -269,5 +351,6 @@ QUERIES = {
     "img_dup_phash": (img_dup_phash, IMG_DUP_SQL),
     "img_drift_hist": (img_drift_hist, IMG_DRIFT_SQL),
     "img_annotated_overlay": (img_annotated_overlay, IMG_ANNOTATED_SQL),
+    "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
     "rel_violations": (rel_violations, REL_SQL),
 }
