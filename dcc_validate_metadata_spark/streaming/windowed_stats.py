@@ -1,0 +1,86 @@
+"""Event-time windowed aggregation with watermark-based late-data
+handling over the ``events`` stream table.
+
+The reference's "streaming" is task-progress plumbing with no event-time
+semantics (SURVEY.md §2.8); a 10^12-row ingestion pipeline needs real
+ones: per-window quality counters that tolerate out-of-order arrival and
+drop state for windows older than the watermark. This is the native
+Structured Streaming shape — state lives in the streaming aggregation,
+bounded by the watermark, scaling with (windows x keys), not rows.
+
+In append output mode a window is emitted exactly once, when the
+watermark passes its end — so downstream consumers (the drift monitor
+comparing adjacent windows) see each window as an immutable row, the
+same contract as the batch pipeline's per-partition verdicts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_stats(
+    stream: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Windowed per-type counters: (window_start, window_end, event_type,
+    n_events, n_users_approx, sum_value). Late rows within the watermark
+    still land in their event-time window; older ones are dropped and the
+    window's state is freed — bounded state at unbounded input."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_stats(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    window: str = "1 day",
+    watermark: str = "2 days",
+):
+    """File-stream the events landing dir, write closed windows (append
+    mode: one immutable row per window, emitted when the watermark passes
+    its end) to parquet; availableNow drains the backlog then stops."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(str(input_path))
+    )
+    agg = windowed_event_stats(stream, window=window, watermark=watermark)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/windows")
+        .option("checkpointLocation", f"{out_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
