@@ -257,8 +257,14 @@ def run_validation(
 
     violations = build_violations(df, ruleset=ruleset, ontology=ontology, gt=gt)
 
+    # shuffle on (partition keys + salt), not the partition keys alone:
+    # fmt is ~80% one codec, so keying the exchange on (fmt, bucket) would
+    # funnel each partition dir through ONE task — at 10^12 rows that one
+    # task is the job. The salt spreads a hot dir over many tasks; the
+    # partitionBy layout on disk is unchanged.
+    salt = F.pmod(F.xxhash64(F.col("image_id")), F.lit(8)).alias("_salt")
     (
-        violations.repartition(*PART_KEYS)
+        violations.repartition(*[F.col(k) for k in PART_KEYS], salt)
         .write.mode("overwrite")
         .partitionBy(*PART_KEYS)
         .parquet(str(out / "violations"))

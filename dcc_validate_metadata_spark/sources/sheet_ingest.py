@@ -1,0 +1,144 @@
+"""Sheet ingestion: header→field resolution + nested-record projection.
+
+The reference's conversion core (SURVEY.md S1/S3/S4) turns an Excel sheet
+into nested records in three steps:
+
+* S1 workbook scan (``conversion/ReadExcelFile.py:24-105``) — here, any
+  tabular DataFrame (CSV/parquet read) IS the sheet; Spark owns the scan.
+* S3 header→field index mapping (``ReadExcelFile.py:140-330``): resolve
+  each header against the template schema, flag duplicate headers
+  ("multiple entries for attribute") and missing mandatory columns
+  ("field is mandatory in sheet"); unknown headers become ``custom``.
+* S4 row→nested-record projection (``ReadExcelFile.py:332-470``): build
+  ``{core: {...}, field: {value, units, term}, custom: {...}}`` per row.
+
+Spark realization: S3 is pure plan-time schema resolution (driver-side,
+no data pass); S4 is ONE ``select`` of nested ``struct`` columns — the
+per-row Python loops of the reference become whole-stage-codegen
+expressions. Value cells follow the reference's field-cell shape
+(``{value, units, term_source_id}`` — constants.py:159
+``SPECIAL_PROPERTIES``): a field named ``X`` may be accompanied by
+sibling columns ``X__units`` / ``X__term`` which fold into its struct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNITS_SUFFIX = "__units"
+TERM_SUFFIX = "__term"
+
+
+@dataclass
+class SheetSpec:
+    """Template for one sheet: which fields belong to the core section,
+    which to the type section, and which are mandatory columns."""
+
+    name: str
+    core_fields: tuple[str, ...] = ()
+    type_fields: tuple[str, ...] = ()
+    mandatory: tuple[str, ...] = ()
+
+
+@dataclass
+class HeaderResolution:
+    """S3 output: plan-time mapping plus header-level issues."""
+
+    core: dict[str, str] = dc_field(default_factory=dict)    # field -> column
+    type_: dict[str, str] = dc_field(default_factory=dict)
+    custom: tuple[str, ...] = ()
+    issues: tuple[tuple[str, str], ...] = ()  # (field, message)
+
+
+def resolve_headers(df: DataFrame, spec: SheetSpec) -> HeaderResolution:
+    """Resolve the DataFrame's columns against the template (S3).
+    Duplicate-header detection matters for CSV-born frames where pandas
+    style dedup renames ``x, x.1`` — both map to field ``x``."""
+    known = set(spec.core_fields) | set(spec.type_fields)
+    seen: dict[str, list[str]] = {}
+    custom: list[str] = []
+    for col in df.columns:
+        if col.endswith((UNITS_SUFFIX, TERM_SUFFIX)):
+            continue
+        base = col.split(".")[0]  # pandas-style dup suffix "x.1" -> "x"
+        if base in known:
+            seen.setdefault(base, []).append(col)
+        else:
+            custom.append(col)
+
+    issues: list[tuple[str, str]] = []
+    core: dict[str, str] = {}
+    type_: dict[str, str] = {}
+    for fld, cols in seen.items():
+        if len(cols) > 1:
+            issues.append(
+                (fld, f"There are multiple entries for attribute '{fld}' in sheet '{spec.name}'")
+            )
+        (core if fld in spec.core_fields else type_)[fld] = cols[0]
+    for fld in spec.mandatory:
+        if fld not in seen:
+            issues.append(
+                (fld, f"Field '{fld}' is mandatory in sheet '{spec.name}' but no column was provided")
+            )
+    return HeaderResolution(
+        core=core, type_=type_, custom=tuple(custom), issues=tuple(issues)
+    )
+
+
+def _cell(df: DataFrame, col: str) -> F.Column:
+    """Field-cell struct {value, units, term}: sibling ``col__units`` /
+    ``col__term`` columns fold in; absent siblings become NULL members."""
+    units = (
+        F.col(col + UNITS_SUFFIX) if col + UNITS_SUFFIX in df.columns else F.lit(None)
+    )
+    term = (
+        F.col(col + TERM_SUFFIX) if col + TERM_SUFFIX in df.columns else F.lit(None)
+    )
+    return F.struct(
+        F.col(col).cast("string").alias("value"),
+        units.cast("string").alias("units"),
+        term.cast("string").alias("term"),
+    )
+
+
+def project_records(df: DataFrame, spec: SheetSpec) -> tuple[DataFrame, HeaderResolution]:
+    """S4: one ``select`` building the nested record
+    ``(row_id, core struct, type struct, custom struct)``. Empty-string
+    cells become NULL values inside the cell struct (the reference skips
+    empty cells — ReadExcelFile.py:392-412)."""
+    res = resolve_headers(df, spec)
+
+    def cell(col: str) -> F.Column:
+        c = _cell(df, col)
+        return F.when(F.trim(F.col(col).cast("string")) == "", None).otherwise(c)
+
+    sections = []
+    if res.core:
+        sections.append(
+            F.struct(
+                *[cell(col).alias(fld) for fld, col in sorted(res.core.items())]
+            ).alias("core")
+        )
+    sections.append(
+        F.struct(
+            *[cell(col).alias(fld) for fld, col in sorted(res.type_.items())]
+        ).alias("type")
+        if res.type_
+        else F.lit(None).cast("struct<_:string>").alias("type")
+    )
+    if res.custom:
+        sections.append(
+            F.struct(
+                *[
+                    F.col(c).cast("string").alias(c)
+                    for c in res.custom
+                ]
+            ).alias("custom")
+        )
+    out = df.select(
+        F.monotonically_increasing_id().alias("_row_id"), *sections
+    )
+    return out, res

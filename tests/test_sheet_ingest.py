@@ -1,0 +1,85 @@
+"""Sheet ingestion (S3/S4): header resolution with duplicate/missing
+detection and the nested-record projection."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from dcc_validate_metadata_spark.sources.sheet_ingest import (
+    SheetSpec,
+    project_records,
+    resolve_headers,
+)
+
+SPEC = SheetSpec(
+    name="organism",
+    core_fields=("sample_name", "material"),
+    type_fields=("organism", "birth_date", "health_status"),
+    mandatory=("sample_name", "organism"),
+)
+
+
+def _sheet_df(spark, pdf):
+    return spark.createDataFrame(pdf.astype("string"))
+
+
+def test_header_resolution_flags_duplicates_and_missing(spark):
+    pdf = pd.DataFrame(
+        {
+            "sample_name": ["s1"],
+            "organism": ["Bos taurus"],
+            "organism.1": ["Sus scrofa"],  # duplicate header
+            "weird_extra": ["x"],
+        }
+    )
+    res = resolve_headers(_sheet_df(spark, pdf), SPEC)
+    assert res.custom == ("weird_extra",)
+    msgs = dict(res.issues)
+    assert msgs["organism"] == (
+        "There are multiple entries for attribute 'organism' in sheet 'organism'"
+    )
+    # 'material' is core but not mandatory: absent silently
+    assert "material" not in msgs
+
+    res2 = resolve_headers(_sheet_df(spark, pdf.drop(columns=["organism", "organism.1"])), SPEC)
+    assert dict(res2.issues)["organism"] == (
+        "Field 'organism' is mandatory in sheet 'organism' but no column was provided"
+    )
+
+
+def test_projection_builds_nested_cells(spark):
+    pdf = pd.DataFrame(
+        {
+            "sample_name": ["s1", "s2"],
+            "material": ["organism", "organism"],
+            "organism": ["Bos taurus", ""],
+            "birth_date": ["2020-01-02", "2019-05"],
+            "birth_date__units": ["YYYY-MM-DD", "YYYY-MM"],
+            "birth_date__term": [None, None],
+            "note": ["a note", None],
+        }
+    )
+    out, res = project_records(_sheet_df(spark, pdf), SPEC)
+    assert res.custom == ("note",)
+    rows = {r["core"]["sample_name"]["value"]: r for r in out.collect()}
+    s1 = rows["s1"]
+    assert s1["type"]["organism"]["value"] == "Bos taurus"
+    assert s1["type"]["birth_date"]["value"] == "2020-01-02"
+    assert s1["type"]["birth_date"]["units"] == "YYYY-MM-DD"
+    assert s1["custom"]["note"] == "a note"
+    s2 = rows["s2"]
+    assert s2["type"]["organism"] is None  # empty cell -> NULL cell struct
+    assert s2["type"]["birth_date"]["units"] == "YYYY-MM"
+
+
+def test_units_columns_do_not_leak_as_custom(spark):
+    pdf = pd.DataFrame(
+        {
+            "sample_name": ["s1"],
+            "organism": ["Bos taurus"],
+            "birth_date": ["2020"],
+            "birth_date__units": ["YYYY"],
+        }
+    )
+    res = resolve_headers(_sheet_df(spark, pdf), SPEC)
+    assert res.custom == ()
