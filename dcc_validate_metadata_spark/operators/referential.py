@@ -46,6 +46,71 @@ def dangling_ref_violations(
     )
 
 
+def ancestor_closure(lookup: DataFrame) -> DataFrame:
+    """Transitive-closure table ``(term, ancestor)`` from a
+    ``(term, parent_term)`` ontology — every term maps to ALL its
+    ancestors (and itself). Computed driver-side: ontologies are
+    KB-to-MB scale against 10^12 facts, so the closure is tiny and the
+    result broadcasts; executors never walk the graph (X2 mapping —
+    the reference calls the Elixir validator's ``graph_restriction``
+    per record, ``WarningsAndAdditionalChecks.py:418-446``)."""
+    rows = lookup.select("term", "parent_term").collect()
+    parent = {r["term"]: r["parent_term"] for r in rows}
+    out = []
+    for t in parent:
+        seen = {t}
+        cur = t
+        while True:
+            out.append((t, cur))
+            cur = parent.get(cur)
+            if cur is None or cur in seen:  # root or cycle guard
+                break
+            seen.add(cur)
+    return lookup.sparkSession.createDataFrame(out, "term string, ancestor string")
+
+
+def subclass_violations(
+    df: DataFrame,
+    term_col: str,
+    required_root_col: str,
+    closure: DataFrame,
+    keep_cols: list[str],
+    text_col: str,
+    species_col: str,
+) -> DataFrame:
+    """Graph-restriction check (X2 / check_breeds): the record's breed
+    term must be a descendant of its species' breed-root node. Broadcast
+    the closure, left join on (term, required root) — a NULL match means
+    the term is NOT under the required subtree. Message per F6:
+    ``Breed '<text>' doesn't match the animal specie: '<species>'``."""
+    keep = list(keep_cols)
+    cl = closure.select(
+        F.col("term").alias("_cl_term"), F.col("ancestor").alias("_cl_anc")
+    )
+    return (
+        df.filter(F.col(term_col).isNotNull())
+        .join(
+            F.broadcast(cl),
+            on=(F.col(term_col) == F.col("_cl_term"))
+            & (F.col(required_root_col) == F.col("_cl_anc")),
+            how="left",
+        )
+        .filter(F.col("_cl_anc").isNull())
+        .select(
+            *keep,
+            F.lit(term_col).alias("field"),
+            F.lit("error").alias("severity"),
+            F.concat(
+                F.lit("Breed '"),
+                F.col(text_col),
+                F.lit("' doesn't match the animal specie: '"),
+                F.col(species_col),
+                F.lit("'"),
+            ).alias("message"),
+        )
+    )
+
+
 def label_match_violations(
     df: DataFrame,
     term_col: str,

@@ -32,6 +32,7 @@ def ensure_fixture() -> Path:
         )
         marker.touch()
     _ensure_samples_fixture()
+    _ensure_breeds_fixture()
     return FIX_DIR
 
 
@@ -71,6 +72,55 @@ def _ensure_samples_fixture() -> None:
             {"name": f"s_{i:03d}", "collection_date": value, "units": units}
         )
     pd.DataFrame(rows).to_parquet(FIX_DIR / "samples_dates.parquet", index=False)
+    marker.touch()
+
+
+def _ensure_breeds_fixture() -> None:
+    """Breed ontology with a parent hierarchy + a samples sheet with
+    planted graph-restriction and label-mismatch violations (reference
+    semantics: check_breeds / check_ols,
+    WarningsAndAdditionalChecks.py:292-320, 418-446)."""
+    marker = FIX_DIR / ".breeds_done"
+    if marker.exists():
+        return
+    import pandas as pd
+
+    onto = pd.DataFrame(
+        [
+            ("LBO:0000000", "breeds root", None),
+            ("LBO:0001000", "bos taurus breeds", "LBO:0000000"),
+            ("LBO:0002000", "sus scrofa breeds", "LBO:0000000"),
+            ("LBO:0001001", "Holstein", "LBO:0001000"),
+            ("LBO:0001002", "Angus", "LBO:0001000"),
+            ("LBO:0001003", "Holstein x Angus crossbreed", "LBO:0001001"),
+            ("LBO:0002001", "Duroc", "LBO:0002000"),
+        ],
+        columns=["term", "label", "parent_term"],
+    )
+    roots = {"Bos taurus": "LBO:0001000", "Sus scrofa": "LBO:0002000"}
+    rows = []
+    plants = [
+        # (species, term, text) — valid unless noted
+        ("Bos taurus", "LBO:0001001", "holstein"),          # ok (case-insens)
+        ("Bos taurus", "LBO:0001003", "Holstein x Angus crossbreed"),  # ok, 2-level
+        ("Sus scrofa", "LBO:0002001", "Duroc"),             # ok
+        ("Bos taurus", "LBO:0002001", "Duroc"),             # wrong subtree
+        ("Sus scrofa", "LBO:0001002", "Angus"),             # wrong subtree
+        ("Bos taurus", "LBO:0001002", "angus beef cattle"), # label mismatch
+    ]
+    for i in range(60):
+        species, term, text = plants[i % len(plants)]
+        rows.append(
+            {
+                "name": f"b_{i:03d}",
+                "species": species,
+                "breed_root": roots[species],
+                "breed_term": term,
+                "breed_text": text,
+            }
+        )
+    onto.to_parquet(FIX_DIR / "ontology_breeds.parquet", index=False)
+    pd.DataFrame(rows).to_parquet(FIX_DIR / "samples_breeds.parquet", index=False)
     marker.touch()
 
 
@@ -233,6 +283,79 @@ ORDER BY name
 """
 
 
+_BREEDS = str(FIX_DIR / "samples_breeds.parquet")
+_ONTO_BREEDS = str(FIX_DIR / "ontology_breeds.parquet")
+
+
+def samples_breed_check(spark, sf_dir):
+    """X2 graph restriction: each breed term must descend from its
+    species' breed-root node — closure computed once driver-side and
+    broadcast; oracle walks the hierarchy with a recursive CTE."""
+    from ..operators.referential import ancestor_closure, subclass_violations
+
+    df = spark.read.parquet(_BREEDS)
+    onto = spark.read.parquet(_ONTO_BREEDS)
+    return subclass_violations(
+        df,
+        term_col="breed_term",
+        required_root_col="breed_root",
+        closure=ancestor_closure(onto),
+        keep_cols=["name"],
+        text_col="breed_text",
+        species_col="species",
+    ).orderBy("name")
+
+
+BREED_CHECK_SQL = f"""
+WITH RECURSIVE onto AS (
+  SELECT term, label, parent_term FROM read_parquet('{_ONTO_BREEDS}')
+),
+closure(term, ancestor) AS (
+  SELECT term, term FROM onto
+  UNION ALL
+  SELECT c.term, o.parent_term
+  FROM closure c JOIN onto o ON o.term = c.ancestor
+  WHERE o.parent_term IS NOT NULL
+)
+SELECT s.name, 'breed_term' AS field, 'error' AS severity,
+       'Breed ''' || s.breed_text || ''' doesn''t match the animal specie: '''
+         || s.species || '''' AS message
+FROM read_parquet('{_BREEDS}') s
+WHERE NOT EXISTS (
+  SELECT 1 FROM closure c
+  WHERE c.term = s.breed_term AND c.ancestor = s.breed_root
+)
+ORDER BY name
+"""
+
+
+def samples_label_match(spark, sf_dir):
+    """J7/F5 label consistency: breed display text must equal the
+    ontology label case-insensitively (check_ols semantics, F6 message)."""
+    from ..operators.referential import label_match_violations
+
+    df = spark.read.parquet(_BREEDS)
+    onto = spark.read.parquet(_ONTO_BREEDS)
+    return label_match_violations(
+        df,
+        term_col="breed_term",
+        text_col="breed_text",
+        lookup=onto,
+        keep_cols=["name"],
+    ).orderBy("name")
+
+
+LABEL_MATCH_SQL = f"""
+SELECT s.name, 'breed_text' AS field, 'warning' AS severity,
+       'Provided value ''' || s.breed_text || ''' doesn''t precisely match '''
+         || o.label || ''' for term ''' || s.breed_term || '''' AS message
+FROM read_parquet('{_BREEDS}') s
+JOIN read_parquet('{_ONTO_BREEDS}') o ON o.term = s.breed_term
+WHERE lower(s.breed_text) <> lower(o.label)
+ORDER BY name
+"""
+
+
 def img_annotated_overlay(spark, sf_dir):
     """S6 annotated-template sink as a wide overlay: per row key, one
     ``<field>_issues`` column with the sorted severity:message list;
@@ -352,5 +475,7 @@ QUERIES = {
     "img_drift_hist": (img_drift_hist, IMG_DRIFT_SQL),
     "img_annotated_overlay": (img_annotated_overlay, IMG_ANNOTATED_SQL),
     "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
+    "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
+    "samples_label_match": (samples_label_match, LABEL_MATCH_SQL),
     "rel_violations": (rel_violations, REL_SQL),
 }
