@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 UNITS_SUFFIX = "__units"
@@ -102,6 +102,60 @@ def _cell(df: DataFrame, col: str) -> F.Column:
         units.cast("string").alias("units"),
         term.cast("string").alias("term"),
     )
+
+
+def validate_sheet(
+    df: DataFrame,
+    spec: SheetSpec,
+    ruleset,
+    name_field: str = "sample_name",
+) -> DataFrame:
+    """The reference's full conversion→validation flow in one lazy plan
+    (S3 header resolution → S4 projection → rule families):
+
+    * record name per P11 (``validation/helpers.py:28-47``): the name
+      field's cell value, else ``"{sheet}_{row+1}"``;
+    * header-level issues (duplicate / missing mandatory columns) become
+      violation rows attributed to the sheet pseudo-record;
+    * cell values flatten back to ``field`` / ``field__units`` columns so
+      the SAME rule compiler used for columnar tables runs unchanged.
+
+    Returns violations ``(name, field, severity, message)``.
+    """
+    from ..rules.compiler import violations_for
+
+    res = resolve_headers(df, spec)
+    resolved = {**res.core, **res.type_}
+
+    cols = [
+        F.when(F.trim(F.col(col).cast("string")) == "", None)
+        .otherwise(F.col(col).cast("string"))
+        .alias(fld)
+        for fld, col in sorted(resolved.items())
+    ]
+    for fld, col in sorted(resolved.items()):
+        if col + UNITS_SUFFIX in df.columns:
+            cols.append(F.col(col + UNITS_SUFFIX).cast("string").alias(fld + UNITS_SUFFIX))
+    row_num = F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+    flat = df.select(row_num.alias("_row"), *cols)
+    name = (
+        F.coalesce(
+            F.col(name_field) if name_field in resolved else F.lit(None),
+            F.concat(F.lit(f"{spec.name}_"), F.col("_row").cast("string")),
+        ).alias("name")
+    )
+    flat = flat.select(name, *[c for c in flat.columns if c != "_row"])
+
+    viol = violations_for(flat, ruleset, keep_cols=["name"])
+
+    if res.issues:
+        spark = df.sparkSession
+        header_rows = spark.createDataFrame(
+            [(spec.name, fld, "error", msg) for fld, msg in res.issues],
+            "name string, field string, severity string, message string",
+        )
+        viol = viol.unionByName(header_rows)
+    return viol
 
 
 def project_records(df: DataFrame, spec: SheetSpec) -> tuple[DataFrame, HeaderResolution]:

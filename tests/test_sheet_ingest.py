@@ -83,3 +83,48 @@ def test_units_columns_do_not_leak_as_custom(spark):
     )
     res = resolve_headers(_sheet_df(spark, pdf), SPEC)
     assert res.custom == ()
+
+
+def test_validate_sheet_end_to_end(spark):
+    """S3+S4+rules in one plan: cell rules, date-unit rule reading the
+    sibling units column, name derivation fallback, header issues."""
+    from dcc_validate_metadata_spark.rules.model import Rule, Ruleset
+    from dcc_validate_metadata_spark.sources.sheet_ingest import validate_sheet
+
+    pdf = pd.DataFrame(
+        {
+            "sample_name": ["s1", "s2", ""],
+            "material": ["organism", "organism", "organism"],
+            "organism": ["Bos taurus", "", ""],
+            "birth_date": ["2020-01-02", "2020-13-01", "2020"],
+            "birth_date__units": ["YYYY-MM-DD", "YYYY-MM-DD", "YYYY"],
+        }
+    )
+    rs = Ruleset(
+        table="organism",
+        rules=(
+            Rule("organism", "mandatory", "mandatory"),
+            Rule("birth_date", "date_unit", "recommended", {"units_col": "birth_date__units"}),
+        ),
+    )
+    viol = validate_sheet(_sheet_df(spark, pdf), SPEC, rs)
+    got = sorted((r["name"], r["field"], r["message"]) for r in viol.collect())
+    assert got == [
+        ("organism_3", "organism",
+         "Field 'organism' is mandatory but no value was provided"),
+        ("s2", "birth_date",
+         "Date units: YYYY-MM-DD should be consistent with date value: 2020-13-01"),
+        ("s2", "organism", "Field 'organism' is mandatory but no value was provided"),
+    ]
+
+
+def test_validate_sheet_header_issue_rows(spark):
+    from dcc_validate_metadata_spark.rules.model import Ruleset
+    from dcc_validate_metadata_spark.sources.sheet_ingest import validate_sheet
+
+    pdf = pd.DataFrame({"material": ["organism"]})  # no sample_name/organism
+    rs = Ruleset(table="organism", rules=())
+    got = validate_sheet(_sheet_df(spark, pdf), SPEC, rs).collect()
+    msgs = {r["message"] for r in got}
+    assert "Field 'organism' is mandatory in sheet 'organism' but no column was provided" in msgs
+    assert all(r["name"] == "organism" for r in got)
