@@ -835,6 +835,67 @@ ORDER BY event_id
 """
 
 
+def s1_search_api(spark, sf_dir):
+    """§3.2 REST-search surface end-to-end: filters + sort + offset/limit
+    pagination + source pruning through the ES-DSL-shaped builder."""
+    from .search_api import es_like_search
+
+    ev = _t(spark, sf_dir, "events")
+    return es_like_search(
+        ev,
+        filters={"event_type": ["click", "purchase"]},
+        sort="event_id:asc",
+        from_=10,
+        size=100,
+        source=["event_id", "event_type", "user_id"],
+    )
+
+
+S1_SEARCH_SQL = """
+SELECT event_id, event_type, user_id FROM events
+WHERE event_type IN ('click', 'purchase')
+ORDER BY event_id OFFSET 10 LIMIT 100
+"""
+
+
+def g1_joined_fetch(spark, sf_dir):
+    """§3.3 GraphQL join-tree surface: filter tree compiled to a join
+    tree with collect_list nesting; flattened here to (custkey, n_orders,
+    total) so the oracle can hash it."""
+    from .join_api import fetch_with_join
+
+    tables = {
+        "customer": _t(spark, sf_dir, "customer"),
+        "orders": _t(spark, sf_dir, "orders"),
+    }
+    spec = {"basic": {"c_mktsegment": ["BUILDING"]}, "join": {"orders": {}}}
+    catalog = {("customer", "orders"): ("c_custkey", "o_custkey")}
+    out = fetch_with_join(tables, "customer", spec, catalog)
+    return out.select(
+        "c_custkey",
+        F.coalesce(F.size("orders"), F.lit(0)).alias("n_orders"),
+        F.round(
+            F.coalesce(
+                F.aggregate(
+                    "orders", F.lit(0.0), lambda acc, o: acc + o["o_totalprice"]
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("total"),
+    ).orderBy("c_custkey")
+
+
+G1_JOINED_SQL = """
+SELECT c.c_custkey,
+       count(o.o_orderkey)::INT AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "a1_terms_top": (a1_terms_top, A1_SQL),
     "a2_json_agg": (a2_json_agg, A2_SQL),
@@ -875,4 +936,6 @@ QUERIES = {
     "f5_lower_label_match": (f5_lower_label_match, F5_SQL),
     "f8_nested_flatten": (f8_nested_flatten, F8_SQL),
     "f12_json_struct": (f12_json_struct, F12_SQL),
+    "s1_search_api": (s1_search_api, S1_SEARCH_SQL),
+    "g1_joined_fetch": (g1_joined_fetch, G1_JOINED_SQL),
 }

@@ -1,0 +1,112 @@
+"""REST-search entry point: the reference's ES query-DSL parameters
+compiled to one DataFrame expression chain.
+
+Mirrors ``api/views.py:178-345`` (SURVEY.md §3.2) — the only "logical
+plan" the reference has is the ES body dict built from request params.
+Here the same parameter shapes compile to Catalyst expressions, so
+pushdown/pruning happen for free:
+
+  filters      {field: [v, ...]}        → ``col.isin`` (P3); the value
+               ``["false"]``            → negated match (P4)
+  wildcards    {field: "*pat*"}         → ``col.like`` with * → % (P6)
+  search       free text                → lowercase substring match over
+                                          the given columns (P7 analogue)
+  _source      [col, ...]               → ``select`` / column pruning (P2)
+  sort         "field:asc|desc"         → ``orderBy`` (O1)
+  from_/size   ints                     → window row_number offset +
+                                          ``limit`` (O3)
+  aggs         [field, ...]             → per-field top-25 value counts
+                                          (A1), returned as a dict of
+                                          DataFrames
+
+Injection guards (P10): field names are validated against the frame's
+schema, sort direction against a whitelist — the reference's regex
+guards (``api/views.py:311-321``) made structural.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+AGG_BUCKET_CAP = 25  # reference: api/views.py:300
+
+
+def _check_field(df: DataFrame, field: str) -> str:
+    if field not in df.columns:
+        raise ValueError(f"unknown field {field!r}")
+    return field
+
+
+def es_like_search(
+    df: DataFrame,
+    filters: dict[str, list] | None = None,
+    wildcards: dict[str, str] | None = None,
+    search: str | None = None,
+    search_fields: list[str] | None = None,
+    source: list[str] | None = None,
+    sort: str | None = None,
+    from_: int = 0,
+    size: int = 10,
+) -> DataFrame:
+    """Compile the search parameters to a single lazy DataFrame."""
+    out = df
+    for field, values in (filters or {}).items():
+        _check_field(df, field)
+        if values == ["false"]:  # reference's negated-filter convention (P4)
+            out = out.filter(
+                F.col(field).isNull() | (F.col(field) != F.lit("true"))
+            )
+        else:
+            out = out.filter(F.col(field).isin(*values))
+    for field, pat in (wildcards or {}).items():
+        _check_field(df, field)
+        out = out.filter(F.col(field).like(pat.replace("*", "%")))
+    if search:
+        cols = search_fields or [
+            f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+        ]
+        needle = F.lit(search.lower())
+        blob = F.lower(F.concat_ws(" ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]))
+        out = out.filter(blob.contains(needle))
+    if sort:
+        field, _, direction = sort.partition(":")
+        _check_field(df, field)
+        if direction not in ("", "asc", "desc"):  # whitelist (api/views.py:321)
+            raise ValueError(f"bad sort direction {direction!r}")
+        out = out.orderBy(
+            F.desc(field) if direction == "desc" else F.asc(field)
+        )
+    if from_ > 0:
+        order = (
+            [F.desc(sort.partition(":")[0])] if sort and sort.endswith("desc")
+            else [F.asc(sort.partition(":")[0])] if sort
+            else [F.monotonically_increasing_id()]
+        )
+        w = Window.orderBy(*order)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > from_)
+            .drop("_rn")
+        )
+    out = out.limit(size)
+    if source:
+        out = out.select(*[_check_field(df, c) for c in source])
+    return out
+
+
+def terms_aggregations(
+    df: DataFrame, agg_fields: list[str], cap: int = AGG_BUCKET_CAP
+) -> dict[str, DataFrame]:
+    """A1 terms aggregations: per field, the top-``cap`` value counts
+    (ties broken on the value for determinism)."""
+    out = {}
+    for field in agg_fields:
+        _check_field(df, field)
+        out[field] = (
+            df.groupBy(F.col(field).alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(cap)
+        )
+    return out
