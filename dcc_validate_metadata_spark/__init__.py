@@ -4,13 +4,17 @@ constraint-validation + analytics engine with the query capabilities of
 
 Subpackages
 -----------
-sources    : table catalogs + the deterministic image+caption fixture
+sources    : table catalogs, image+caption fixture, Iceberg IO, sheet
+             ingestion, export sinks
 rules      : declarative rule model compiled to vectorized Column exprs
-operators  : stats / uniqueness / referential / drift / dedup / similarity
-functions  : scalar helpers (snake_case, date-unit parsing, …)
-images     : pure-Python PNG codec + Arrow-batched decode invariants
+operators  : stats / uniqueness / referential / relationships / drift /
+             dedup / similarity / text
+images     : pure-Python PNG codec, Arrow-batched decode invariants,
+             resize + feature transforms
+multimodal : audio/video binary-column plumbing (decode stubbed)
 plans      : end-to-end validation pipeline + checkpoint manifest
-streaming  : Structured-Streaming validation
+streaming  : ingestion validation + windowed event-time stats
+queries    : driver/oracle query packs, REST-search + join-tree surfaces
 """
 
 __version__ = "0.1.0"
