@@ -221,11 +221,21 @@ def run_validation(
     ontology: DataFrame | None = None,
     gt: DataFrame | None = None,
     resume: bool = True,
+    with_stats: bool = False,
+    drift_reference: dict | None = None,
 ) -> ValidationResult:
     """Validate the image+caption table, writing violations + verdicts +
     manifest under ``out_dir``. With ``resume=True``, partitions recorded
     ``done`` in the manifest are pruned from the scan (partition filter on
-    fmt/bucket → Parquet/Iceberg partition pruning, no data read for them)."""
+    fmt/bucket → Parquet/Iceberg partition pruning, no data read for them).
+
+    ``with_stats=True`` additionally writes per-(fmt,bucket) column
+    profiles (``stats/`` — count / null-rate / min / max / mean /
+    approx-quantiles, `bytes` excluded so the profile scan stays pruned)
+    and, when ``drift_reference`` names a reference partition (e.g.
+    ``{"fmt": "jpeg"}``), chi-square + KS drift verdicts per fmt over the
+    caption-length distribution (``drift.json``) — sketch-sized driver
+    work, per the north-star drift mandate."""
     from ..sources.image_table import load_image_table
 
     t0 = time.time()
@@ -279,6 +289,35 @@ def run_validation(
     verdicts = build_verdicts(df, violations_on_disk)
     verdicts_rows = verdicts.collect()  # tiny: one row per partition
     verdicts.write.mode("overwrite").parquet(str(out / "verdicts"))
+
+    if with_stats:
+        from ..operators.stats import column_stats
+
+        (
+            column_stats(df.drop("bytes"), group_cols=PART_KEYS)
+            .write.mode("overwrite")
+            .parquet(str(out / "stats"))
+        )
+    if drift_reference is not None:
+        import json as _json
+
+        from ..operators.drift import (
+            chi_square_drift,
+            histogram_by_partition,
+            ks_drift_from_quantiles,
+        )
+
+        cap_len = df.select(
+            "fmt", F.length("caption").cast("double").alias("cap_len")
+        )
+        hist = histogram_by_partition(cap_len, "cap_len", ["fmt"], n_bins=16)
+        report = {
+            "reference": drift_reference,
+            "value": "length(caption)",
+            "chi_square": chi_square_drift(hist, ["fmt"], drift_reference, n_bins=16),
+            "ks": ks_drift_from_quantiles(cap_len, "cap_len", ["fmt"], drift_reference),
+        }
+        (out / "drift.json").write_text(_json.dumps(report, indent=2))
 
     row_counts = {
         (r["fmt"], r["bucket"]): r["n"]

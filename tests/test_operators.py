@@ -129,3 +129,32 @@ def test_partial_manifest_resume(spark, fixture_dir, tmp_path):
         for r in written.select("fmt", "bucket").distinct().collect()
     }
     assert got_parts.isdisjoint(set(done_subset))
+
+
+def test_run_validation_with_stats_and_drift(spark, fixture_dir, tmp_path):
+    import json
+
+    from dcc_validate_metadata_spark.plans.pipeline import run_validation
+
+    ontology = spark.read.parquet(str(fixture_dir / "ontology_terms.parquet"))
+    out = tmp_path / "statsout"
+    run_validation(
+        spark,
+        str(fixture_dir / "image_caption"),
+        str(out),
+        ontology=ontology,
+        with_stats=True,
+        drift_reference={"fmt": "jpeg"},
+    )
+    stats = spark.read.parquet(str(out / "stats"))
+    cols_profiled = {r["column"] for r in stats.select("column").distinct().collect()}
+    assert "bytes" not in cols_profiled  # profile scan must stay pruned
+    assert {"w", "h", "caption", "phash"} <= cols_profiled
+    w_stats = stats.filter("column = 'w'").collect()
+    assert all(r["count"] > 0 for r in w_stats)
+
+    report = json.loads((out / "drift.json").read_text())
+    assert report["reference"] == {"fmt": "jpeg"}
+    parts = {e["partition"]["fmt"] for e in report["chi_square"]}
+    assert parts and "jpeg" not in parts  # reference excluded from results
+    assert all("drifted" in e for e in report["ks"])
