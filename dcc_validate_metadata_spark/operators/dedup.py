@@ -107,8 +107,14 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """(id, mh_0 … mh_{k-1}): k min-hashes per doc in ONE aggregation pass.
+def minhash_signatures(
+    shingles: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    with_count: bool = False,
+) -> DataFrame:
+    """(id, mh_0 … mh_{k-1}[, n]): k min-hashes per doc in ONE aggregation
+    pass; ``with_count=True`` folds the per-doc shingle count into the
+    same agg so downstream Jaccard verification doesn't rescan shingles.
 
     Double hashing: h_i(s) = h1(s) + i*h2(s) with h1/h2 the two 48-bit
     halves of ONE md5 — one digest per shingle instead of k (Kirsch &
@@ -121,9 +127,10 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_MINHASHES) -> 
     hashed = shingles.select(
         "id", *[(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)]
     )
-    return hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
-    )
+    aggs = [F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n"))
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidates(
@@ -166,9 +173,13 @@ def minhash_dedup_pairs(
     bucket join → exact-Jaccard verification restricted to candidates.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
     sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
-    cand = lsh_candidates(minhash_signatures(sh, num_hashes), num_hashes, band_rows)
-    # verify ONLY candidate pairs: semi-join prune both shingle sides
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sig = minhash_signatures(sh, num_hashes, with_count=True)
+    cand = lsh_candidates(
+        sig.drop("n"), num_hashes, band_rows
+    )
+    # verify ONLY candidate pairs: semi-join prune both shingle sides;
+    # per-doc shingle counts ride along with the signatures (no rescan)
+    sizes = sig.select("id", "n")
     a = sh.join(cand.select(F.col("id_a").alias("id")).distinct(), "id").select(
         F.col("id").alias("id_a"), "s"
     )
