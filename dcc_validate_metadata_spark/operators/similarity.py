@@ -71,6 +71,98 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_lists: int = 16,
+    dim: int = 64,
+    iters: int = 8,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    (sampled) collect of the embedding column — at 10^9+ vectors train on
+    a ~1M sample, the clustering quality is indistinguishable. Numpy
+    Lloyd iterations, seeded, on L2-normalized vectors (so nearest
+    centroid by dot product == by cosine)."""
+    sample = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def _nearest_lists(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
+    """Array of the ``nprobe`` centroid ids nearest to ``vec`` (by dot
+    product on the normalized vector) — pure Column math, JVM-side."""
+    norm = _norm(vec)
+    scores = F.array(
+        *[
+            F.struct(
+                (_dot(vec, F.array(*[F.lit(float(v)) for v in c])) / norm).alias("s"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+    return F.transform(top, lambda t: t["list_id"])
+
+
+def ann_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: every vector is assigned to its nearest centroid's
+    inverted list (1 id each); each query probes its ``nprobe`` nearest
+    lists and ranks exact cosine within them — O(Q x N x nprobe/n_lists)
+    instead of O(Q x N). Same output schema as cosine_topk; recall rises
+    with ``nprobe`` (== n_lists gives exact brute force)."""
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        _nearest_lists(F.col(vec_col), centroids, 1)[0].alias("list_id"),
+    )
+    q = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+            F.explode(
+                _nearest_lists(F.col(vec_col), centroids, nprobe)
+            ).alias("list_id"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = base.join(
+        F.broadcast(q),
+        (base["list_id"] == q["list_id"]) & (F.col("q_id") != F.col("id")),
+    ).select("q_id", "id", cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "id", round4(F.col("_cos")).alias("cosine"))
+    )
+
+
 def ann_lsh_bucketed(
     emb: DataFrame,
     query_ids: list[int],

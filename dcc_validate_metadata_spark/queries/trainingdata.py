@@ -260,6 +260,23 @@ def ann_lsh_bucketed(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+_IVF_LISTS = 8
+
+
+def ann_ivf_fullprobe(spark, sf_dir):
+    """IVF ANN (k-means inverted lists, broadcast centroids) probed at
+    nprobe == n_lists, which must EXACTLY reproduce brute force — so the
+    brute-force SQL oracle verifies the whole IVF machinery (training,
+    list assignment, probe, ranking) at value level. The production
+    setting (nprobe << n_lists) trades that exactness for
+    O(N·nprobe/n_lists) work."""
+    emb = _embs(spark, sf_dir)
+    cents = S.train_ivf_centroids(emb, n_lists=_IVF_LISTS, iters=5)
+    return S.ann_ivf(
+        emb, ANN_QUERY_IDS, cents, k=ANN_K, nprobe=_IVF_LISTS
+    ).orderBy("q_id", "rank")
+
+
 # ------------------------------------------------------------ text analysis
 
 def txt_token_counts(spark, sf_dir):
@@ -356,6 +373,7 @@ QUERIES = {
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "dd_embedding_pairs": (dd_embedding_pairs, DD_EMBED_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_SQL),
+    "ann_ivf_fullprobe": (ann_ivf_fullprobe, ANN_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, None),
     "txt_token_counts": (txt_token_counts, TXT_TOKENS_SQL),
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),

@@ -1,0 +1,136 @@
+"""Custom stateful streaming operator: cross-batch duplicate detection.
+
+The batch pipeline's uniqueness check (salted two-phase aggregate) sees
+the whole table at once; a streaming ingest must remember which keys it
+has already admitted ACROSS micro-batches. That is Structured
+Streaming's arbitrary-stateful-operator territory —
+``applyInPandasWithState`` — the one streaming shape the engine had not
+yet exercised.
+
+Design (scales to 10^12 keys):
+
+* state is PARTITIONED by a key-hash group (``pmod(xxhash64(key), G)``)
+  so each group's state holds ~K/G keys and groups rebalance over
+  executors — never one global set;
+* per group the state value is a single binary blob of sorted 8-byte
+  xxhash64 fingerprints (compact: 8 bytes/key, set-membership via
+  ``np.isin``), not the raw keys;
+* output is the duplicate stream ``(key, first_seen_batch?)`` — rows
+  whose key was already admitted in ANY earlier micro-batch (or earlier
+  in the same batch);
+* ``GroupStateTimeout.NoTimeout`` — dedup state is permanent for the
+  run; a TTL'd variant would pass ``oldTimestampMs`` processing-time
+  timeouts instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+N_GROUPS = 64
+
+OUTPUT_SCHEMA = "key string, dup_count int"
+STATE_SCHEMA = "fingerprints binary"
+
+
+def _fp64(keys: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit fingerprints (stable across batches/runs)."""
+    import zlib
+
+    return np.array(
+        [
+            (zlib.crc32(k.encode()) << 32) | zlib.crc32(k[::-1].encode())
+            for k in keys
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _dedup_fn(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        (blob,) = state.get
+        seen = np.frombuffer(blob, dtype=np.uint64)
+    else:
+        seen = np.empty(0, dtype=np.uint64)
+
+    out_keys: list[str] = []
+    out_counts: list[int] = []
+    for pdf in pdfs:
+        fps = _fp64(pdf["key"])
+        dup_mask = np.isin(fps, seen)
+        # duplicates WITHIN this chunk too: mark second+ occurrence
+        first_idx: dict[int, int] = {}
+        for i, fp in enumerate(fps):
+            if dup_mask[i]:
+                continue
+            if int(fp) in first_idx:
+                dup_mask[i] = True
+            else:
+                first_idx[int(fp)] = i
+        dups = pdf.loc[dup_mask, "key"]
+        out_keys.extend(dups.tolist())
+        out_counts.extend([1] * len(dups))
+        seen = np.union1d(seen, fps)
+
+    state.update((seen.tobytes(),))
+    if out_keys:
+        yield pd.DataFrame({"key": out_keys, "dup_count": out_counts})
+
+
+def streaming_duplicates(
+    stream: DataFrame,
+    key_col: str,
+    n_groups: int = N_GROUPS,
+) -> DataFrame:
+    """Duplicate-key stream over an unbounded input: emits one row per
+    occurrence of a key already admitted earlier (same or prior batch)."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_groups))
+        .cast("int")
+        .alias("grp"),
+    )
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_dedup(
+    spark,
+    input_path: str,
+    out_dir: str,
+    key_col: str = "image_id",
+    schema=None,
+):
+    """availableNow runner: file-stream the landing dir, write the
+    duplicate stream to parquet, checkpoint for cross-run state."""
+    from ..sources.image_table import IMAGE_SCHEMA
+
+    reader = spark.readStream.schema(schema or IMAGE_SCHEMA).format("parquet")
+    stream = reader.load(str(input_path))
+    q = (
+        streaming_duplicates(stream, key_col)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/duplicates")
+        .option("checkpointLocation", f"{out_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

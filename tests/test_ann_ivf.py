@@ -1,0 +1,66 @@
+"""IVF ANN: centroid training is deterministic, search recall rises with
+nprobe, and full-probe IVF equals exact brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dcc_validate_metadata_spark.operators.similarity import (
+    ann_ivf,
+    cosine_topk,
+    train_ivf_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+N_LISTS = 8
+QUERIES = [0, 1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    return train_ivf_centroids(emb, n_lists=N_LISTS, iters=5)
+
+
+def test_centroids_deterministic_and_normalized(emb, cents):
+    again = train_ivf_centroids(emb, n_lists=N_LISTS, iters=5)
+    assert np.allclose(cents, again)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+
+
+def test_full_probe_equals_brute_force(emb, cents):
+    exact = {
+        (r["q_id"], r["rank"]): r["id"]
+        for r in cosine_topk(emb, QUERIES, k=5).collect()
+    }
+    ivf_all = {
+        (r["q_id"], r["rank"]): r["id"]
+        for r in ann_ivf(emb, QUERIES, cents, k=5, nprobe=N_LISTS).collect()
+    }
+    assert ivf_all == exact
+
+
+def test_recall_rises_with_nprobe(emb, cents):
+    exact = {
+        r["q_id"]: set()
+        for r in cosine_topk(emb, QUERIES, k=10).collect()
+    }
+    for r in cosine_topk(emb, QUERIES, k=10).collect():
+        exact[r["q_id"]].add(r["id"])
+
+    def recall(nprobe: int) -> float:
+        got: dict = {q: set() for q in exact}
+        for r in ann_ivf(emb, QUERIES, cents, k=10, nprobe=nprobe).collect():
+            got[r["q_id"]].add(r["id"])
+        return sum(
+            len(got[q] & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 > 0.5  # multi-probe finds most true neighbors
