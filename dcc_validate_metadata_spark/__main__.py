@@ -1,0 +1,153 @@
+"""Command-line entry point — the spark-submit user surface.
+
+    spark-submit --py-files engine.zip -m dcc_validate_metadata_spark ...
+    # or locally:
+    python -m dcc_validate_metadata_spark validate --input T --out O
+
+Subcommands
+-----------
+validate   : run the full validation pipeline (violations, verdicts,
+             manifest; optional column stats + drift report); resumable.
+stream     : availableNow streaming validation over a landing directory.
+gen-table  : synthesize a deterministic image+caption table (executor-
+             side generation; for tests/benchmarks).
+annotate   : write the wide per-field issues overlay for a validated run.
+
+Every subcommand exits 0 on success; ``validate`` exits 2 when any
+partition FAILED validation (CI-friendly), 0 when all passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str, master: str | None):
+    from .session import get_spark
+
+    return get_spark(app, master=master)
+
+
+def cmd_validate(args) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .plans.pipeline import run_validation
+
+    spark = _spark("dcc-validate", args.master)
+    ontology = (
+        spark.read.parquet(args.ontology) if args.ontology else None
+    )
+    gt = spark.read.parquet(args.ground_truth) if args.ground_truth else None
+    drift_ref = json.loads(args.drift_reference) if args.drift_reference else None
+    r = run_validation(
+        spark,
+        args.input,
+        args.out,
+        ontology=ontology,
+        gt=gt,
+        resume=not args.no_resume,
+        with_stats=args.stats,
+        drift_reference=drift_ref,
+    )
+    verdicts = r.verdicts.collect() if r.n_rows else []
+    n_fail = sum(1 for v in verdicts if not v["pass"])
+    print(
+        json.dumps(
+            {
+                "rows_validated": r.n_rows,
+                "skipped_partitions": r.skipped_partitions,
+                "partitions": len(verdicts),
+                "failed_partitions": n_fail,
+                "elapsed_sec": round(r.elapsed_sec, 2),
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+    return 2 if n_fail else 0
+
+
+def cmd_stream(args) -> int:
+    from .streaming import stream_status_events, validate_stream
+
+    spark = _spark("dcc-validate-stream", args.master)
+    ontology = spark.read.parquet(args.ontology) if args.ontology else None
+    validate_stream(spark, args.input, args.out, ontology=ontology)
+    events = stream_status_events(args.out)
+    print(json.dumps({"batches": len(events), "events": events[-3:]}))
+    spark.stop()
+    return 0
+
+
+def cmd_gen_table(args) -> int:
+    from .sources.image_table import generate_image_table_distributed
+
+    spark = _spark("dcc-gen-table", args.master)
+    generate_image_table_distributed(
+        spark, args.out, n_rows=args.rows, seed=args.seed, hw=args.hw
+    )
+    print(json.dumps({"out": args.out, "rows": args.rows, "hw": args.hw}))
+    spark.stop()
+    return 0
+
+
+def cmd_annotate(args) -> int:
+    from .plans.pipeline import build_annotated
+    from .sources.image_table import load_image_table
+
+    spark = _spark("dcc-annotate", args.master)
+    df = load_image_table(spark, args.input)
+    violations = spark.read.parquet(f"{args.run_dir}/violations").select(
+        "fmt", "bucket", "image_id", "field", "severity", "message"
+    )
+    out = f"{args.run_dir}/annotated"
+    build_annotated(df, violations).write.mode("overwrite").parquet(out)
+    print(json.dumps({"out": out}))
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dcc_validate_metadata_spark")
+    p.add_argument("--master", default=None, help="Spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the validation pipeline")
+    v.add_argument("--input", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--ontology", default=None)
+    v.add_argument("--ground-truth", default=None)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--stats", action="store_true")
+    v.add_argument(
+        "--drift-reference", default=None,
+        help='JSON partition ref, e.g. {"fmt": "jpeg"}',
+    )
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("stream", help="availableNow streaming validation")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--ontology", default=None)
+    s.set_defaults(fn=cmd_stream)
+
+    g = sub.add_parser("gen-table", help="synthesize an image+caption table")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hw", type=int, default=32)
+    g.set_defaults(fn=cmd_gen_table)
+
+    a = sub.add_parser("annotate", help="write the wide issues overlay")
+    a.add_argument("--input", required=True)
+    a.add_argument("--run-dir", required=True)
+    a.set_defaults(fn=cmd_annotate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
