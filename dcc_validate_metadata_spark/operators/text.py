@@ -59,6 +59,33 @@ def token_count_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+# BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# non-space-non-alnum runs — the GPT-2 pre-tokenization shape without the
+# merge table (counting these units approximates BPE token counts far
+# better than whitespace splitting; the regex is engine-portable)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_units, chars_per_unit) — subword-style unit counts via
+    ``regexp_count`` (JVM regex, one projection, no shuffle). A real BPE
+    count = these units split further by the merge vocabulary; this is
+    the standard cheap proxy for budgeting token counts at corpus scale."""
+    n = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    from .dedup import round4
+
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_units"),
+        round4(
+            F.length(F.col(text_col)).cast("double")
+            / F.when(n > 0, n.cast("double")).otherwise(F.lit(None))
+        ).alias("chars_per_unit"),
+    )
+
+
 def quality_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc quality features + composite score, all rounded so the
     DuckDB oracle reproduces the exact doubles:

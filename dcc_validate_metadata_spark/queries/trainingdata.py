@@ -290,6 +290,24 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+
+def txt_token_counts_bpe(spark, sf_dir):
+    """Subword-style (BPE-ish) unit counting: contraction suffixes,
+    letter runs, digit runs, punctuation runs — the GPT-2
+    pre-tokenization shape, the standard cheap proxy for budgeting
+    LLM token counts over a corpus."""
+    return X.bpe_ish_token_count_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TXT_BPE_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN.replace("'", "''")}'))::BIGINT AS n_units,
+       floor(length(text)::DOUBLE
+             / nullif(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN.replace("'", "''")}')), 0)
+             * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS chars_per_unit
+FROM documents ORDER BY doc_id
+"""
+
 _STOP_LIST = ", ".join(f"'{s}'" for s in X.STOPWORDS)
 
 _TXT_FEATURES_CTE = f"""
@@ -376,6 +394,7 @@ QUERIES = {
     "ann_ivf_fullprobe": (ann_ivf_fullprobe, ANN_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, None),
     "txt_token_counts": (txt_token_counts, TXT_TOKENS_SQL),
+    "txt_token_counts_bpe": (txt_token_counts_bpe, TXT_BPE_SQL),
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),
     "txt_lang_id": (txt_lang_id, TXT_LANGID_SQL),
     "txt_fingerprints": (txt_fingerprints, TXT_FP_SQL),

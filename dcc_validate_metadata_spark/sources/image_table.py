@@ -410,6 +410,12 @@ def generate_image_table_distributed(
 
 def load_image_table(spark: SparkSession, path: str | Path) -> DataFrame:
     df = spark.read.parquet(str(Path(path)))
+    missing = [f.name for f in IMAGE_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(
+            f"input table at {path} is missing required columns {missing}; "
+            f"expected the north-rule schema {[f.name for f in IMAGE_SCHEMA.fields]}"
+        )
     # partition-dir columns come back as strings/ints; normalize types + order
     return df.select(
         "image_id",

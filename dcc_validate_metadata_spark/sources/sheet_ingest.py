@@ -158,6 +158,35 @@ def validate_sheet(
     return viol
 
 
+def validate_workbook(
+    sheets: dict[str, DataFrame],
+    specs: dict[str, SheetSpec],
+    rulesets: dict,
+    name_field: str = "sample_name",
+) -> tuple[DataFrame, str]:
+    """Whole-workbook validation (the reference's submission unit): every
+    sheet through :func:`validate_sheet`, violations unioned with a
+    ``sheet`` column, plus the submission verdict — ``'Fix issues'`` if
+    ANY error exists anywhere, else ``'Ready for submission'``
+    (``validation/helpers.py:50-81`` ``get_submission_status`` /
+    ``check_issues``, SURVEY.md A5). One Spark job for the verdict: an
+    ``isEmpty`` on the error subset, no full count."""
+    from functools import reduce
+
+    from pyspark.sql import functions as FF
+
+    parts = []
+    for sheet_name, df in sheets.items():
+        v = validate_sheet(
+            df, specs[sheet_name], rulesets[sheet_name], name_field=name_field
+        )
+        parts.append(v.select(FF.lit(sheet_name).alias("sheet"), "*"))
+    violations = reduce(DataFrame.unionByName, parts)
+    has_errors = not violations.filter(FF.col("severity") == "error").isEmpty()
+    status = "Fix issues" if has_errors else "Ready for submission"
+    return violations, status
+
+
 def project_records(df: DataFrame, spec: SheetSpec) -> tuple[DataFrame, HeaderResolution]:
     """S4: one ``select`` building the nested record
     ``(row_id, core struct, type struct, custom struct)``. Empty-string

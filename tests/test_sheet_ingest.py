@@ -128,3 +128,43 @@ def test_validate_sheet_header_issue_rows(spark):
     msgs = {r["message"] for r in got}
     assert "Field 'organism' is mandatory in sheet 'organism' but no column was provided" in msgs
     assert all(r["name"] == "organism" for r in got)
+
+
+def test_validate_workbook_submission_verdict(spark):
+    from dcc_validate_metadata_spark.rules.model import Rule, Ruleset
+    from dcc_validate_metadata_spark.sources.sheet_ingest import validate_workbook
+
+    org = pd.DataFrame(
+        {"sample_name": ["o1", "o2"], "material": ["organism"] * 2,
+         "organism": ["Bos taurus", ""]}
+    )
+    exp = pd.DataFrame({"sample_name": ["e1"], "material": ["organism"],
+                        "organism": ["Sus scrofa"]})
+    sheets = {"organism": _sheet_df(spark, org), "specimen": _sheet_df(spark, exp)}
+    specs = {"organism": SPEC, "specimen": SPEC}
+    rs = Ruleset("t", (Rule("organism", "mandatory", "mandatory"),))
+    rulesets = {"organism": rs, "specimen": rs}
+
+    viol, status = validate_workbook(sheets, specs, rulesets)
+    rows = [(r["sheet"], r["name"], r["field"]) for r in viol.collect()]
+    assert rows == [("organism", "o2", "organism")]
+    assert status == "Fix issues"
+
+    # clean workbook -> ready
+    org_ok = org.assign(organism=["Bos taurus", "Bos taurus"])
+    sheets_ok = {"organism": _sheet_df(spark, org_ok), "specimen": _sheet_df(spark, exp)}
+    viol2, status2 = validate_workbook(sheets_ok, specs, rulesets)
+    assert viol2.count() == 0
+    assert status2 == "Ready for submission"
+
+
+def test_load_image_table_missing_column_message(spark, tmp_path):
+    import pytest as _pytest
+
+    from dcc_validate_metadata_spark.sources.image_table import load_image_table
+
+    pd.DataFrame({"image_id": ["a"], "caption": ["x"]}).to_parquet(
+        tmp_path / "bad.parquet", index=False
+    )
+    with _pytest.raises(ValueError, match="missing required columns"):
+        load_image_table(spark, tmp_path / "bad.parquet")
