@@ -136,6 +136,10 @@ def validate_sheet(
     for fld, col in sorted(resolved.items()):
         if col + UNITS_SUFFIX in df.columns:
             cols.append(F.col(col + UNITS_SUFFIX).cast("string").alias(fld + UNITS_SUFFIX))
+    # global row numbers for the "{sheet}_{i}" fallback name: a single-task
+    # window, acceptable ONLY because sheets are human-authored workbooks
+    # (10^3-10^5 rows). Machine-scale tables go through the columnar
+    # pipeline (plans/pipeline.py), which never needs global row order.
     row_num = F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
     flat = df.select(row_num.alias("_row"), *cols)
     name = (
