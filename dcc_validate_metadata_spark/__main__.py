@@ -51,7 +51,7 @@ def cmd_validate(args) -> int:
         with_stats=args.stats,
         drift_reference=drift_ref,
     )
-    verdicts = r.verdicts.collect() if r.n_rows else []
+    verdicts = r.verdict_rows or []
     n_fail = sum(1 for v in verdicts if not v["pass"])
     print(
         json.dumps(

@@ -102,11 +102,11 @@ def subclass_violations(
             F.lit("error").alias("severity"),
             F.concat(
                 F.lit("Breed '"),
-                F.col(text_col),
+                F.coalesce(F.col(text_col), F.lit("")),
                 F.lit("' doesn't match the animal specie: '"),
-                F.col(species_col),
+                F.coalesce(F.col(species_col), F.lit("")),
                 F.lit("'"),
-            ).alias("message"),
+            ).alias("message"),  # coalesce: concat is null-propagating
         )
     )
 

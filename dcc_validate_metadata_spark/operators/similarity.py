@@ -74,7 +74,6 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def train_ivf_centroids(
     emb: DataFrame,
     n_lists: int = 16,
-    dim: int = 64,
     iters: int = 8,
     sample_fraction: float = 1.0,
     seed: int = 42,

@@ -43,6 +43,9 @@ class ValidationResult:
     n_rows: int
     skipped_partitions: int
     elapsed_sec: float
+    # collected verdict rows (one per partition) — already materialized by
+    # the run, so callers never re-trigger the verdict join
+    verdict_rows: list = None
 
 
 def build_violations(
@@ -65,27 +68,28 @@ def build_violations(
     """
     from pyspark.sql import functions as F  # local alias for fused exprs
     from ..operators.uniqueness import duplicate_keys
+    from ..rules import messages as M
     from ..rules.compiler import VIOLATION_SCHEMA, compile_rule
-
-    from pyspark.sql import types as T
 
     ruleset = ruleset or default_image_ruleset()
 
-    # presence checks on BINARY columns move into the decode branch: even
-    # `bytes IS NOT NULL` forces the scan to read the payload pages, and
-    # only the decode branch may touch `bytes` (PLANS.md audit)
-    binary_cols = {
-        f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
-    }
+    # the presence check on the `bytes` column moves into the decode
+    # branch: even `bytes IS NOT NULL` forces the scan to read the payload
+    # pages, and only the decode branch may touch `bytes` (PLANS.md
+    # audit). Scoped to the decode branch's own column — a mandatory rule
+    # on any OTHER binary column stays in the fused pass (it costs a scan
+    # of that column, but it is enforced).
     binary_missing_msg = None
     exprs = []
     for rule in ruleset.row_rules:
-        if rule.kind == "mandatory" and rule.field in binary_cols:
-            if rule.tier == "mandatory" and ruleset.udf_rules:
-                binary_missing_msg = (
-                    f"Field '{rule.field}' is mandatory but no value was provided"
-                )
-                continue
+        if (
+            rule.kind == "mandatory"
+            and rule.field == "bytes"
+            and rule.tier == "mandatory"
+            and ruleset.udf_rules
+        ):
+            binary_missing_msg = M.msg_mandatory_missing(rule.field)
+            continue
         col = compile_rule(rule, df, ruleset.table)
         if col is not None:
             exprs.append(col)
@@ -263,6 +267,7 @@ def run_validation(
             n_rows=0,
             skipped_partitions=skipped,
             elapsed_sec=time.time() - t0,
+            verdict_rows=[],
         )
 
     violations = build_violations(df, ruleset=ruleset, ontology=ontology, gt=gt)
@@ -346,4 +351,5 @@ def run_validation(
         n_rows=n_rows,
         skipped_partitions=skipped,
         elapsed_sec=time.time() - t0,
+        verdict_rows=verdicts_rows,
     )

@@ -871,9 +871,13 @@ def g1_joined_fetch(spark, sf_dir):
     spec = {"basic": {"c_mktsegment": ["BUILDING"]}, "join": {"orders": {}}}
     catalog = {("customer", "orders"): ("c_custkey", "o_custkey")}
     out = fetch_with_join(tables, "customer", spec, catalog)
+    # size(NULL) is -1 under legacy (non-ANSI) mode — guard the null case
+    # explicitly, never via coalesce(size(...), 0)
     return out.select(
         "c_custkey",
-        F.coalesce(F.size("orders"), F.lit(0)).alias("n_orders"),
+        F.when(F.col("orders").isNull(), F.lit(0))
+        .otherwise(F.size("orders"))
+        .alias("n_orders"),
         F.round(
             F.coalesce(
                 F.aggregate(

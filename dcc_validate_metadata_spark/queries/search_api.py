@@ -69,18 +69,21 @@ def es_like_search(
         needle = F.lit(search.lower())
         blob = F.lower(F.concat_ws(" ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]))
         out = out.filter(blob.contains(needle))
+    sort_field = sort_dir = None
     if sort:
-        field, _, direction = sort.partition(":")
-        _check_field(df, field)
-        if direction not in ("", "asc", "desc"):  # whitelist (api/views.py:321)
-            raise ValueError(f"bad sort direction {direction!r}")
+        sort_field, _, sort_dir = sort.partition(":")
+        _check_field(df, sort_field)
+        if sort_dir not in ("", "asc", "desc"):  # whitelist (api/views.py:321)
+            raise ValueError(f"bad sort direction {sort_dir!r}")
         out = out.orderBy(
-            F.desc(field) if direction == "desc" else F.asc(field)
+            F.desc(sort_field) if sort_dir == "desc" else F.asc(sort_field)
         )
     if from_ > 0:
+        # reuse the PARSED direction — matching on the raw string would
+        # misread a field literally named '*desc'
         order = (
-            [F.desc(sort.partition(":")[0])] if sort and sort.endswith("desc")
-            else [F.asc(sort.partition(":")[0])] if sort
+            [F.desc(sort_field)] if sort_dir == "desc"
+            else [F.asc(sort_field)] if sort_field
             else [F.monotonically_increasing_id()]
         )
         w = Window.orderBy(*order)

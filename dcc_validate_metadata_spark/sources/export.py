@@ -73,13 +73,15 @@ def write_fixed_width(
     )
     if coalesce:
         line = line.coalesce(coalesce)
-    # header travels as a tiny unioned frame so the sink stays distributed
+    # header rows sort before data via an explicit ord key — file-order
+    # of union partitions alone is not a contract readers can rely on
     header_df = line.sparkSession.createDataFrame(
         [(0, header), (1, "-" * len(header))], "ord int, value string"
     )
     (
-        header_df.select("value")
-        .unionByName(line)
+        header_df.unionByName(line.select(F.lit(2).alias("ord"), "value"))
+        .orderBy("ord")
+        .select("value")
         .write.mode("overwrite")
         .text(path)
     )

@@ -60,10 +60,14 @@ def resolve_headers(df: DataFrame, spec: SheetSpec) -> HeaderResolution:
     known = set(spec.core_fields) | set(spec.type_fields)
     seen: dict[str, list[str]] = {}
     custom: list[str] = []
+    import re
+
     for col in df.columns:
         if col.endswith((UNITS_SUFFIX, TERM_SUFFIX)):
             continue
-        base = col.split(".")[0]  # pandas-style dup suffix "x.1" -> "x"
+        # strip ONLY the pandas dedup suffix ("x.1" -> "x"); a legitimate
+        # header containing a dot ("conc. corrected") is its own field
+        base = re.sub(r"\.\d+$", "", col)
         if base in known:
             seen.setdefault(base, []).append(col)
         else:

@@ -13,7 +13,7 @@ Design (scales to 10^12 keys):
   so each group's state holds ~K/G keys and groups rebalance over
   executors — never one global set;
 * per group the state value is a single binary blob of sorted 8-byte
-  xxhash64 fingerprints (compact: 8 bytes/key, set-membership via
+  blake2b fingerprints (compact: 8 bytes/key, set-membership via
   ``np.isin``), not the raw keys;
 * output is the duplicate stream ``(key, first_seen_batch?)`` — rows
   whose key was already admitted in ANY earlier micro-batch (or earlier
@@ -41,12 +41,18 @@ STATE_SCHEMA = "fingerprints binary"
 
 
 def _fp64(keys: pd.Series) -> np.ndarray:
-    """Deterministic 64-bit fingerprints (stable across batches/runs)."""
-    import zlib
+    """Deterministic 64-bit fingerprints (stable across batches/runs).
+    blake2b-8 — a real hash, not CRC: CRC32's GF(2) linearity would make
+    collisions SYSTEMATIC for structured key families (sequential ids
+    differing by a fixed XOR pattern), which at 10^12 keys means
+    mass false duplicates instead of birthday-bound ones."""
+    import hashlib
 
     return np.array(
         [
-            (zlib.crc32(k.encode()) << 32) | zlib.crc32(k[::-1].encode())
+            int.from_bytes(
+                hashlib.blake2b(k.encode(), digest_size=8).digest(), "big"
+            )
             for k in keys
         ],
         dtype=np.uint64,
