@@ -104,3 +104,39 @@ def test_join_tree_depth_guard(tables):
 def test_join_tree_unknown_mapping(tables):
     with pytest.raises(ValueError, match="no join mapping"):
         fetch_with_join(tables, "customer", {"join": {"events": {}}}, CATALOG)
+
+
+def test_join_tree_empty_child_counts_zero(spark):
+    """size(NULL array) is -1 under legacy mode — the flattening must
+    count customers with no orders as 0 (regression: review finding)."""
+    from pyspark.sql import functions as F
+
+    tables = {
+        "customer": spark.createDataFrame(
+            [(1, "BUILDING"), (2, "BUILDING")], "c_custkey long, c_mktsegment string"
+        ),
+        "orders": spark.createDataFrame(
+            [(10, 1, 5.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+        ),
+    }
+    spec = {"basic": {"c_mktsegment": ["BUILDING"]}, "join": {"orders": {}}}
+    catalog = {("customer", "orders"): ("c_custkey", "o_custkey")}
+    out = fetch_with_join(tables, "customer", spec, catalog)
+    flat = out.select(
+        "c_custkey",
+        F.when(F.col("orders").isNull(), F.lit(0))
+        .otherwise(F.size("orders"))
+        .alias("n_orders"),
+    )
+    got = {r["c_custkey"]: r["n_orders"] for r in flat.collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_search_sort_field_named_desc(spark):
+    """A column literally named '*_desc' must not flip pagination order
+    (regression: review finding)."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "flag_desc int, v string"
+    )
+    out = es_like_search(df, sort="flag_desc", from_=5, size=5).collect()
+    assert [r["flag_desc"] for r in out] == [5, 6, 7, 8, 9]  # ascending page

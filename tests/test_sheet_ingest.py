@@ -168,3 +168,18 @@ def test_load_image_table_missing_column_message(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="missing required columns"):
         load_image_table(spark, tmp_path / "bad.parquet")
+
+
+def test_dotted_header_is_distinct_field(spark):
+    """Only the pandas '.N' dedup suffix folds into the base field; a
+    human header containing a dot stays its own (custom) column
+    (regression: review finding)."""
+    spec = SheetSpec(
+        name="assay", core_fields=(), type_fields=("conc",), mandatory=()
+    )
+    pdf = pd.DataFrame(
+        {"conc": ["1.0"], "conc. corrected": ["1.1"], "conc.1": ["2.0"]}
+    )
+    res = resolve_headers(_sheet_df(spark, pdf), spec)
+    assert res.custom == ("conc. corrected",)
+    assert dict(res.issues).get("conc", "").startswith("There are multiple entries")
