@@ -75,17 +75,30 @@ def train_ivf_centroids(
     emb: DataFrame,
     n_lists: int = 16,
     iters: int = 8,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
+    max_train_rows: int = 1_000_000,
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means centroids trained driver-side on a
-    (sampled) collect of the embedding column — at 10^9+ vectors train on
-    a ~1M sample, the clustering quality is indistinguishable. Numpy
-    Lloyd iterations, seeded, on L2-normalized vectors (so nearest
-    centroid by dot product == by cosine)."""
+    (sampled) collect of the embedding column. Numpy Lloyd iterations,
+    seeded, on L2-normalized vectors (so nearest centroid by dot product
+    == by cosine).
+
+    Sampling is automatic by default (``sample_fraction=None``): the
+    collect is capped at ``max_train_rows`` via a counted fraction, so a
+    10^9-vector table trains on a ~1M sample instead of OOMing the driver
+    — clustering quality is indistinguishable at that size. Pass an
+    explicit fraction to override (1.0 forces a full collect)."""
     sample = emb.select(vec_col)
-    if sample_fraction < 1.0:
+    if sample_fraction is None:
+        n = sample.count()
+        if n > max_train_rows:
+            # 1.1x head-room then exact cap: sample() is Bernoulli, so a
+            # bare fraction can undershoot; the limit keeps it bounded
+            frac = min(1.0, 1.1 * max_train_rows / n)
+            sample = sample.sample(fraction=frac, seed=seed).limit(max_train_rows)
+    elif sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)

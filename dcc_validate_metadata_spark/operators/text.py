@@ -121,15 +121,23 @@ def quality_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def lang_id_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_id_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """N-gram-free stopword-density language heuristic: docs whose
     stopword ratio >= 0.03 are predicted ``en``, else ``und``. Real
     pipelines swap in a fastText model via mapInPandas; the Spark plumbing
-    (one projection, no shuffle) is the part that matters at 100 TB."""
+    (one projection, no shuffle) is the part that matters at 100 TB.
+    ``keep_cols`` carries source columns through the same projection so
+    callers never need a self-join back onto the input."""
     tok = tokens(F.col(text_col))
     ratio = _stopword_count(tok).cast("double") / F.size(tok).cast("double")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
         round4(ratio).alias("en_score"),
     )

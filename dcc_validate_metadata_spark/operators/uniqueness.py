@@ -6,8 +6,12 @@ a single ``groupBy(key)`` on a skewed key melts one reducer, so the count
 is two-phase: partial count per (key, salt) — salt derived from the
 physical partition, so hot keys split across reducers — then a final
 re-aggregation over the (tiny) partial-count table. Duplicate keys are then
-broadcast back onto the fact table to emit per-row violation rows
-(duplicates are rare; the broadcast side is small by construction).
+joined back onto the fact table to emit per-row violation rows. The join
+strategy is deliberately left to AQE: "duplicates are rare" holds for
+clean submissions, but a dedup-heavy training corpus can have 10-50% of
+keys duplicated, and a forced broadcast of that table OOMs at 10^12 rows.
+AQE broadcasts when the measured dup-table size is under the threshold and
+shuffles otherwise — correct on both sides.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def uniqueness_violations(
     for fld in fields:
         dups = duplicate_keys(df, fld, n_salts=n_salts)
         v = (
-            df.join(F.broadcast(dups), on=fld, how="inner")
+            df.join(dups, on=fld, how="inner")
             .select(
                 *keep,
                 F.lit(fld).alias("field"),

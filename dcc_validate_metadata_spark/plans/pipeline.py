@@ -59,9 +59,11 @@ def build_violations(
     Arrow decode branch — lazy, no action.
 
     Set-level (uniqueness) and join-level (referential) checks fold into
-    the same ``select`` as the row rules: the duplicate-key tables from the
-    salted two-phase agg and the ontology key set are tiny by construction,
-    so they broadcast onto the main scan and every non-UDF violation struct
+    the same ``select`` as the row rules: the ontology key set is tiny by
+    construction and broadcasts; the duplicate-key tables from the salted
+    two-phase agg are left unhinted so AQE broadcasts them only when their
+    measured size allows (dedup-heavy corpora make them large). Every
+    non-UDF violation struct
     is emitted from a single exploded array (the reference's three Celery
     chord branches — SURVEY.md §3.1 — collapse into one stage). The table
     is scanned with ``bytes`` pruned away; only the decode branch reads it.
@@ -98,8 +100,12 @@ def build_violations(
     # uniqueness: per-field dup tables (salted two-phase agg), broadcast back
     for i, rule in enumerate(ruleset.unique_rules):
         fld = rule.field
+        # No forced broadcast: the dup table is tiny for clean inputs (AQE
+        # will broadcast it from its measured size) but can reach a large
+        # fraction of the keys on dedup-heavy corpora, where a hinted
+        # broadcast would OOM — AQE then falls back to a shuffle join.
         dups = duplicate_keys(df, fld).withColumnRenamed("n", f"_dupn_{i}")
-        main = main.join(F.broadcast(dups), on=fld, how="left")
+        main = main.join(dups, on=fld, how="left")
         exprs.append(
             F.when(
                 F.col(f"_dupn_{i}").isNotNull(),
@@ -244,9 +250,9 @@ def run_validation(
 
     t0 = time.time()
     out = Path(out_dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = Manifest(out)
-    df = load_image_table(spark, table_path)
+    full_df = load_image_table(spark, table_path)
+    df = full_df
 
     skipped = 0
     if resume:
@@ -258,6 +264,41 @@ def run_validation(
             )
             df = df.filter(cond)
             skipped = len(done)
+
+    # stats + drift profile the FULL table, not the resume-pruned scan:
+    # they are sketch/profile passes that never read `bytes`, so re-running
+    # them on a resume is cheap, keeps stats/ complete (a pruned overwrite
+    # would silently drop prior partitions' profiles), and guarantees the
+    # drift reference partition exists even when its buckets were all
+    # completed in an earlier run.
+    if with_stats:
+        from ..operators.stats import column_stats
+
+        (
+            column_stats(full_df.drop("bytes"), group_cols=PART_KEYS)
+            .write.mode("overwrite")
+            .parquet(str(out / "stats"))
+        )
+    if drift_reference is not None:
+        import json as _json
+
+        from ..operators.drift import (
+            chi_square_drift,
+            histogram_by_partition,
+            ks_drift_from_quantiles,
+        )
+
+        cap_len = full_df.select(
+            "fmt", F.length("caption").cast("double").alias("cap_len")
+        )
+        hist = histogram_by_partition(cap_len, "cap_len", ["fmt"], n_bins=16)
+        report = {
+            "reference": drift_reference,
+            "value": "length(caption)",
+            "chi_square": chi_square_drift(hist, ["fmt"], drift_reference, n_bins=16),
+            "ks": ks_drift_from_quantiles(cap_len, "cap_len", ["fmt"], drift_reference),
+        }
+        (out / "drift.json").write_text(_json.dumps(report, indent=2))
 
     n_rows = df.count()
     if n_rows == 0:
@@ -281,6 +322,10 @@ def run_validation(
     (
         violations.repartition(*[F.col(k) for k in PART_KEYS], salt)
         .write.mode("overwrite")
+        # per-write dynamic overwrite (replace only the partitions present
+        # in this run) — set on the writer, NOT the shared session conf,
+        # so the caller's overwrite semantics elsewhere are untouched
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*PART_KEYS)
         .parquet(str(out / "violations"))
     )
@@ -294,35 +339,6 @@ def run_validation(
     verdicts = build_verdicts(df, violations_on_disk)
     verdicts_rows = verdicts.collect()  # tiny: one row per partition
     verdicts.write.mode("overwrite").parquet(str(out / "verdicts"))
-
-    if with_stats:
-        from ..operators.stats import column_stats
-
-        (
-            column_stats(df.drop("bytes"), group_cols=PART_KEYS)
-            .write.mode("overwrite")
-            .parquet(str(out / "stats"))
-        )
-    if drift_reference is not None:
-        import json as _json
-
-        from ..operators.drift import (
-            chi_square_drift,
-            histogram_by_partition,
-            ks_drift_from_quantiles,
-        )
-
-        cap_len = df.select(
-            "fmt", F.length("caption").cast("double").alias("cap_len")
-        )
-        hist = histogram_by_partition(cap_len, "cap_len", ["fmt"], n_bins=16)
-        report = {
-            "reference": drift_reference,
-            "value": "length(caption)",
-            "chi_square": chi_square_drift(hist, ["fmt"], drift_reference, n_bins=16),
-            "ks": ks_drift_from_quantiles(cap_len, "cap_len", ["fmt"], drift_reference),
-        }
-        (out / "drift.json").write_text(_json.dumps(report, indent=2))
 
     row_counts = {
         (r["fmt"], r["bucket"]): r["n"]

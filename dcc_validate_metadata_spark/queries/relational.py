@@ -84,15 +84,15 @@ def a3_null_counts(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_value"),
-        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_null_props"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("n_null_value"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long").alias("n_null_props"),
     )
 
 
 A3_SQL = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
-       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_value,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_props
 FROM events
 """
 
@@ -125,7 +125,7 @@ def a7_column_stats(spark, sf_dir):
         F.min("l_quantity").alias("qty_min"),
         F.max("l_quantity").alias("qty_max"),
         F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
-        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("qty_nulls"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("long").alias("qty_nulls"),
         F.min("l_discount").alias("disc_min"),
         F.max("l_discount").alias("disc_max"),
     )
@@ -135,7 +135,7 @@ A7_SQL = """
 SELECT count(*) AS n_rows,
        min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
        round(avg(l_quantity), 4) AS qty_mean,
-       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS qty_nulls,
        min(l_discount) AS disc_min, max(l_discount) AS disc_max
 FROM lineitem
 """

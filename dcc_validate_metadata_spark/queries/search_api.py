@@ -13,8 +13,23 @@ pushdown/pruning happen for free:
                                           the given columns (P7 analogue)
   _source      [col, ...]               → ``select`` / column pruning (P2)
   sort         "field:asc|desc"         → ``orderBy`` (O1)
-  from_/size   ints                     → window row_number offset +
-                                          ``limit`` (O3)
+  from_/size   ints                     → distributed top-(from_+size)
+                                          (TakeOrderedAndProject) then a
+                                          row_number offset over that
+                                          BOUNDED set (O3) — see
+                                          pagination note below
+  after        last sort-key value      → keyset continuation:
+                                          ``sort_key > after`` + limit,
+                                          the deep-pagination scale path
+
+Pagination note: offset pagination is kept for API parity but computed as
+a distributed top-k (k = from_+size) followed by a single-task window
+over only those k rows — the single task is bounded by the page depth,
+never by the table size. Deep scans should pass ``after`` (keyset) and
+leave ``from_`` at 0, like ES ``search_after``. When ``from_ > 0`` with
+no sort, a deterministic all-column ordering is used as the order key
+(``monotonically_increasing_id`` is not stable across queries, so
+successive unsorted pages could overlap or skip).
   aggs         [field, ...]             → per-field top-25 value counts
                                           (A1), returned as a dict of
                                           DataFrames
@@ -48,8 +63,15 @@ def es_like_search(
     sort: str | None = None,
     from_: int = 0,
     size: int = 10,
+    after=None,
 ) -> DataFrame:
-    """Compile the search parameters to a single lazy DataFrame."""
+    """Compile the search parameters to a single lazy DataFrame.
+
+    ``after`` is the keyset-continuation token (the last page's final
+    sort-key value): rows with sort key strictly beyond it are returned,
+    ``limit(size)``-ed — no global ordering materialized anywhere.
+    Requires ``sort``; the sort field should be unique (pass the record
+    id as the sort field, or expect boundary ties to be skipped)."""
     out = df
     for field, values in (filters or {}).items():
         _check_field(df, field)
@@ -75,20 +97,40 @@ def es_like_search(
         _check_field(df, sort_field)
         if sort_dir not in ("", "asc", "desc"):  # whitelist (api/views.py:321)
             raise ValueError(f"bad sort direction {sort_dir!r}")
+    if after is not None:
+        # keyset continuation (ES search_after): a pushdown-able range
+        # predicate + top-k — constant cost per page at any depth
+        if not sort_field:
+            raise ValueError("keyset pagination (after=) requires a sort")
+        if from_ > 0:
+            raise ValueError("pass either after= (keyset) or from_ (offset)")
+        out = out.filter(
+            F.col(sort_field) < F.lit(after)
+            if sort_dir == "desc"
+            else F.col(sort_field) > F.lit(after)
+        )
+    if sort_field:
         out = out.orderBy(
             F.desc(sort_field) if sort_dir == "desc" else F.asc(sort_field)
         )
     if from_ > 0:
-        # reuse the PARSED direction — matching on the raw string would
-        # misread a field literally named '*desc'
+        # Offset parity path. The order key reuses the PARSED direction
+        # (matching the raw string would misread a field named '*desc');
+        # with no sort, a deterministic all-column tuple keeps successive
+        # pages disjoint across separate queries.
         order = (
             [F.desc(sort_field)] if sort_dir == "desc"
             else [F.asc(sort_field)] if sort_field
-            else [F.monotonically_increasing_id()]
+            else [F.asc(c) for c in out.columns]
         )
+        # top-(from_+size) first: Spark plans orderBy+limit as a
+        # distributed TakeOrderedAndProject, so the row_number window
+        # below sees at most from_+size rows — its single task is bounded
+        # by page depth, never table size. Deep scans use after= instead.
+        bounded = out.orderBy(*order).limit(from_ + size)
         w = Window.orderBy(*order)
         out = (
-            out.withColumn("_rn", F.row_number().over(w))
+            bounded.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") > from_)
             .drop("_rn")
         )

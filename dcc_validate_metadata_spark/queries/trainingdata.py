@@ -350,12 +350,12 @@ FROM feat2 ORDER BY doc_id
 
 
 def txt_lang_id(spark, sf_dir):
-    """Stopword-density language heuristic, rolled up vs the labeled lang."""
-    d = _docs(spark, sf_dir)
-    pred = X.lang_id_df(d)
+    """Stopword-density language heuristic, rolled up vs the labeled lang —
+    one projection + one tiny groupBy; the labeled lang rides through the
+    prediction select (no self-join back onto the source)."""
+    pred = X.lang_id_df(_docs(spark, sf_dir), keep_cols=["lang"])
     return (
-        d.join(pred, on="doc_id")
-        .groupBy("lang", "pred_lang")
+        pred.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("lang", "pred_lang")
     )

@@ -12,6 +12,9 @@ Spark query.
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -20,29 +23,68 @@ FIXTURE_ROWS = 1010
 FIXTURE_BUCKETS = 4
 FIXTURE_SEED = 42
 FIX_DIR = Path(f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}")
+_MARKER = ".done_all"
+_LOCK_STALE_S = 180.0
 
 
 def ensure_fixture() -> Path:
-    marker = FIX_DIR / ".done"
-    if not marker.exists():
+    """Materialize the fixture exactly once per machine, safely under
+    concurrent callers (the driver may import this module from several
+    processes at once — e.g. the Spark runner and the DuckDB oracle).
+
+    The build happens in a pid-scoped temp dir that is atomically renamed
+    into place; an O_EXCL lock file serializes builders and a stale-lock
+    timeout recovers from a crashed builder. Never partially visible:
+    ``FIX_DIR`` either doesn't exist or carries the ``.done_all`` marker.
+    """
+    marker = FIX_DIR / _MARKER
+    if marker.exists():
+        return FIX_DIR
+    lock = FIX_DIR.parent / (FIX_DIR.name + ".lock")
+    fd: int | None = None
+    try:
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # Another process is building: wait for its marker, or
+                # break a stale lock left by a crashed builder.
+                deadline = time.monotonic() + _LOCK_STALE_S
+                while time.monotonic() < deadline:
+                    if marker.exists():
+                        return FIX_DIR
+                    try:
+                        if time.time() - lock.stat().st_mtime > _LOCK_STALE_S:
+                            lock.unlink()
+                            break
+                    except FileNotFoundError:
+                        break
+                    time.sleep(0.2)
+        if marker.exists():  # built while we waited for the lock
+            return FIX_DIR
+        tmp = FIX_DIR.parent / f"{FIX_DIR.name}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         from ..sources.image_table import generate_image_fixture
 
         generate_image_fixture(
-            FIX_DIR, n_rows=FIXTURE_ROWS, seed=FIXTURE_SEED, n_buckets=FIXTURE_BUCKETS
+            tmp, n_rows=FIXTURE_ROWS, seed=FIXTURE_SEED, n_buckets=FIXTURE_BUCKETS
         )
-        marker.touch()
-    _ensure_samples_fixture()
-    _ensure_breeds_fixture()
+        _write_samples_fixture(tmp)
+        _write_breeds_fixture(tmp)
+        (tmp / _MARKER).touch()
+        shutil.rmtree(FIX_DIR, ignore_errors=True)  # stale pre-marker partial
+        os.rename(tmp, FIX_DIR)
+    finally:
+        if fd is not None:
+            os.close(fd)
+            lock.unlink(missing_ok=True)
     return FIX_DIR
 
 
-def _ensure_samples_fixture() -> None:
+def _write_samples_fixture(out_dir: Path) -> None:
     """FAANG-shaped samples sheet with (collection_date, units) pairs —
     deterministic, planted date-unit mismatches in every ladder position
     (reference semantics: WarningsAndAdditionalChecks.py:322-347)."""
-    marker = FIX_DIR / ".samples_done"
-    if marker.exists():
-        return
     import pandas as pd
 
     units_cycle = ["YYYY-MM-DD", "YYYY-MM", "YYYY"]
@@ -71,18 +113,14 @@ def _ensure_samples_fixture() -> None:
         rows.append(
             {"name": f"s_{i:03d}", "collection_date": value, "units": units}
         )
-    pd.DataFrame(rows).to_parquet(FIX_DIR / "samples_dates.parquet", index=False)
-    marker.touch()
+    pd.DataFrame(rows).to_parquet(out_dir / "samples_dates.parquet", index=False)
 
 
-def _ensure_breeds_fixture() -> None:
+def _write_breeds_fixture(out_dir: Path) -> None:
     """Breed ontology with a parent hierarchy + a samples sheet with
     planted graph-restriction and label-mismatch violations (reference
     semantics: check_breeds / check_ols,
     WarningsAndAdditionalChecks.py:292-320, 418-446)."""
-    marker = FIX_DIR / ".breeds_done"
-    if marker.exists():
-        return
     import pandas as pd
 
     onto = pd.DataFrame(
@@ -119,12 +157,17 @@ def _ensure_breeds_fixture() -> None:
                 "breed_text": text,
             }
         )
-    onto.to_parquet(FIX_DIR / "ontology_breeds.parquet", index=False)
-    pd.DataFrame(rows).to_parquet(FIX_DIR / "samples_breeds.parquet", index=False)
-    marker.touch()
+    onto.to_parquet(out_dir / "ontology_breeds.parquet", index=False)
+    pd.DataFrame(rows).to_parquet(out_dir / "samples_breeds.parquet", index=False)
 
 
-ensure_fixture()
+# Import-time materialization keeps the DuckDB oracle independent of the
+# order the driver runs (oracle-before-Spark is fine). Must never make the
+# module unimportable — every query fn re-invokes ensure_fixture() lazily.
+try:
+    ensure_fixture()
+except Exception:  # pragma: no cover — driver-env safety net
+    pass
 
 _IMG = str(FIX_DIR / "image_caption")
 _GT = str(FIX_DIR / "image_caption_gt.parquet")
@@ -137,6 +180,7 @@ _EXP_VERD = str(FIX_DIR / "expected_verdicts.parquet")
 def _load(spark):
     from ..sources.image_table import load_image_table
 
+    ensure_fixture()
     return load_image_table(spark, _IMG)
 
 
@@ -197,12 +241,12 @@ WITH img AS (SELECT fmt, w, h FROM read_parquet('{_IMG}'))
 SELECT fmt, col AS "column", count, n_null, mn AS "min", mx AS "max", mean
 FROM (
   SELECT fmt, 'w' AS col, count(*) AS count,
-         sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_null,
+         sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
          min(w)::DOUBLE AS mn, max(w)::DOUBLE AS mx, round(avg(w), 4) AS mean
   FROM img GROUP BY fmt
   UNION ALL
   SELECT fmt, 'h', count(*),
-         sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END)::BIGINT,
          min(h)::DOUBLE, max(h)::DOUBLE, round(avg(h), 4)
   FROM img GROUP BY fmt
 ) ORDER BY fmt, col
@@ -252,6 +296,7 @@ def samples_date_unit(spark, sf_dir):
     from ..rules.compiler import violations_for
     from ..rules.model import Rule, Ruleset
 
+    ensure_fixture()
     df = spark.read.parquet(_SAMPLES)
     rs = Ruleset(
         table="samples",
@@ -293,6 +338,7 @@ def samples_breed_check(spark, sf_dir):
     broadcast; oracle walks the hierarchy with a recursive CTE."""
     from ..operators.referential import ancestor_closure, subclass_violations
 
+    ensure_fixture()
     df = spark.read.parquet(_BREEDS)
     onto = spark.read.parquet(_ONTO_BREEDS)
     return subclass_violations(
@@ -334,6 +380,7 @@ def samples_label_match(spark, sf_dir):
     ontology label case-insensitively (check_ols semantics, F6 message)."""
     from ..operators.referential import label_match_violations
 
+    ensure_fixture()
     df = spark.read.parquet(_BREEDS)
     onto = spark.read.parquet(_ONTO_BREEDS)
     return label_match_violations(
@@ -408,6 +455,7 @@ def rel_violations(spark, sf_dir):
     self-joins; oracle reimplements them in SQL."""
     from ..operators.relationships import relationship_violations
 
+    ensure_fixture()
     edges = spark.read.parquet(_EDGES)
     return relationship_violations(edges).orderBy("name", "field", "message")
 

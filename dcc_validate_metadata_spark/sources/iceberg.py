@@ -106,9 +106,11 @@ def overwrite_partitions(df: DataFrame, table_or_path: str) -> None:
     if iceberg_available(spark) and "/" not in table_or_path:
         df.writeTo(table_or_path).overwritePartitions()
         return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # writer-scoped option, not session conf: mutating the shared session
+    # would silently change overwrite semantics for the caller's own writes
     (
         df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("fmt", "bucket")
         .parquet(table_or_path)
     )
