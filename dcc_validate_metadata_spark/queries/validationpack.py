@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 FIXTURE_ROWS = 1010
 FIXTURE_BUCKETS = 4
 FIXTURE_SEED = 42
-FIX_DIR = Path(f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}")
+FIXTURE_VERSION = 2  # bump when fixture contents change (forces a rebuild)
+FIX_DIR = Path(
+    f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}"
+    f"_v{FIXTURE_VERSION}"
+)
 _MARKER = ".done_all"
 _LOCK_STALE_S = 180.0
 
@@ -71,6 +75,8 @@ def ensure_fixture() -> Path:
         )
         _write_samples_fixture(tmp)
         _write_breeds_fixture(tmp)
+        _write_faang_fixture(tmp)
+        _write_graphql_fixture(tmp)
         (tmp / _MARKER).touch()
         shutil.rmtree(FIX_DIR, ignore_errors=True)  # stale pre-marker partial
         os.rename(tmp, FIX_DIR)
@@ -159,6 +165,241 @@ def _write_breeds_fixture(out_dir: Path) -> None:
         )
     onto.to_parquet(out_dir / "ontology_breeds.parquet", index=False)
     pd.DataFrame(rows).to_parquet(out_dir / "samples_breeds.parquet", index=False)
+
+
+def _faang_fixture_rows() -> list[dict]:
+    """Organism sheet rows, one violation family planted per 16-row cycle
+    position (position 0 = clean)."""
+    rows = []
+    for i in range(96):
+        r = {
+            "sample_name": f"ORG_{i:04d}",
+            "sample_description": f"adult animal {i}",
+            "material": "organism",
+            "material__term": "OBI:0100026",
+            "project": "FAANG",
+            "secondary_project": None,
+            "availability": "https://faang.example.org/samples",
+            "organism": "Sus scrofa",
+            "organism__term": "NCBITaxon:9823",
+            "sex": "female",
+            "sex__term": "PATO:0000383",
+            "birth_date": f"20{i % 25:02d}-{i % 12 + 1:02d}-{i % 28 + 1:02d}",
+            "birth_date__units": "YYYY-MM-DD",
+            "breed": "Duroc",
+            "breed__term": "LBO:0000358",
+            "health_status": "healthy",
+            "health_status__term": "PATO:0000461",
+            "birth_weight": f"{1.0 + (i % 7) * 0.25:.2f}",
+            "birth_weight__units": "kilograms",
+            "pedigree": "https://pedigree.example.org/entry",
+        }
+        slot = i % 16
+        if slot == 1:
+            r["material"] = "tissue sample"        # text-enum violation
+        elif slot == 2:
+            r["project"] = "NOTFAANG"              # value-enum violation
+        elif slot == 3:
+            r["organism"] = None                   # mandatory missing
+        elif slot == 4:
+            r["sex"] = "not provided"              # missing token (error tier)
+        elif slot == 5:
+            r["birth_date"] = f"20{i % 25:02d}-13-40"  # regex + date_unit
+        elif slot == 6:
+            r["birth_date"] = f"20{i % 25:02d}-05"     # narrower than units
+        elif slot == 7:
+            r["birth_date__units"] = "MONTHLY"     # units-enum violation
+        elif slot == 8:
+            r["breed"] = None                      # recommended missing
+        elif slot == 9:
+            r["availability"] = "ftp://wrong.example.org"  # pattern violation
+        elif slot == 10:
+            r["birth_weight"] = "heavy"            # numeric violation
+        elif slot == 11:
+            r["birth_weight__units"] = "pounds"    # units-enum violation
+        elif slot == 12:
+            r["pedigree"] = "gopher://old.example.org"  # pattern violation
+        elif slot == 13:
+            r["sample_description"] = "restricted access"  # token (warning)
+        elif slot == 14:
+            r["material__term"] = "OBI:9999999"    # term-enum violation
+        elif slot == 15:
+            r["project"] = None                    # mandatory missing
+        rows.append(r)
+    return rows
+
+
+def _faang_expected(rows: list[dict], table: str = "organism") -> list[dict]:
+    """Independent golden: re-derives the expected violations by walking
+    the vendored JSON-Schema documents directly with plain Python (re /
+    float / strptime) — no Ruleset, no compiler, no Spark. Shares ONLY
+    rules/messages.py with the engine (single-source message formats by
+    design, SURVEY.md F6)."""
+    import re as _re
+    from datetime import datetime
+
+    from ..rules import messages as M
+    from ..rules.constants import DATE_UNIT_FORMATS, MISSING_VALUES
+    from ..rules.faang_schema import load_vendored_schema
+
+    core = load_vendored_schema("faang_samples_core.metadata_rules.json")
+    typ = load_vendored_schema("faang_samples_organism.metadata_rules.json")
+    props: dict[str, dict] = {}
+    for schema in (core, typ):
+        for key, prop in schema.get("properties", {}).items():
+            if key in ("describedBy", "schema_version") or "$ref" in prop:
+                continue
+            sub = (
+                prop.get("items", {}).get("properties", {})
+                if prop.get("type") == "array"
+                else prop.get("properties", {})
+            )
+            if sub:
+                props[key] = sub
+
+    strptime_fmt = {"YYYY-MM-DD": "%Y-%m-%d", "YYYY-MM": "%Y-%m", "YYYY": "%Y"}
+    strict_re = {
+        "YYYY-MM-DD": r"^\d{4}-\d{2}-\d{2}$",
+        "YYYY-MM": r"^\d{4}-\d{2}$",
+        "YYYY": r"^\d{4}$",
+    }
+
+    def present(v) -> bool:
+        return v is not None and str(v).strip() != ""
+
+    out: list[dict] = []
+
+    def emit(name, field, severity, message):
+        out.append(
+            {"name": name, "field": field, "severity": severity, "message": message}
+        )
+
+    for row in rows:
+        name = row["sample_name"]
+        for fname, sub in props.items():
+            tier = sub.get("mandatory", {}).get("const", "optional")
+            val = row.get(fname)
+            units = row.get(fname + "__units")
+            term = row.get(fname + "__term")
+            if not present(val):
+                if tier == "mandatory":
+                    emit(name, fname, "error", M.msg_mandatory_missing(fname))
+                elif tier == "recommended":
+                    emit(name, fname, "warning", M.msg_recommended_missing())
+            else:
+                sval = str(val)
+                token = sval.strip().lower()
+                matrix = MISSING_VALUES[tier]
+                if token in matrix["errors"]:
+                    emit(name, fname, "error", M.msg_missing_token(fname, table))
+                elif token in matrix["warnings"]:
+                    emit(name, fname, "warning", M.msg_missing_token(fname, table))
+                text_enum = sub.get("text", {}).get("enum")
+                if text_enum and sval not in text_enum:
+                    emit(name, fname, "error", M.msg_enum(sval, fname, text_enum))
+                value = sub.get("value", {})
+                pat = value.get("pattern")
+                if pat and not _re.search(pat, sval):
+                    emit(name, fname, "error", M.msg_regex(sval, fname, pat))
+                venum = value.get("enum") or (
+                    [value["const"]] if "const" in value else None
+                )
+                if venum and sval not in venum:
+                    emit(name, fname, "error", M.msg_enum(sval, fname, venum))
+                if value.get("type") == "number":
+                    try:
+                        float(sval)
+                    except ValueError:
+                        emit(name, fname, "error", M.msg_numeric(sval, fname))
+                if units is not None and str(units) in DATE_UNIT_FORMATS:
+                    u = str(units)
+                    ok = bool(_re.fullmatch(strict_re[u], sval))
+                    if ok:
+                        try:
+                            datetime.strptime(sval, strptime_fmt[u])
+                        except ValueError:
+                            ok = False
+                    if not ok:
+                        emit(name, fname, "error", M.msg_date_unit(u, sval))
+            uenum = sub.get("units", {}).get("enum")
+            if uenum and present(units) and str(units) not in uenum:
+                emit(
+                    name,
+                    fname + "__units",
+                    "error",
+                    M.msg_enum(str(units), fname + "__units", uenum),
+                )
+            tenum = sub.get("term", {}).get("enum")
+            if tenum and present(term) and str(term) not in tenum:
+                emit(
+                    name,
+                    fname + "__term",
+                    "error",
+                    M.msg_enum(str(term), fname + "__term", tenum),
+                )
+    return out
+
+
+def _write_graphql_fixture(out_dir: Path) -> None:
+    """J4 catalog fixture: dataset / file / article tables shaped like the
+    reference's ES indices, exercising a dotted multi-valued LEFT key
+    (``dataset.file.name`` through an array<struct>) and a dotted
+    multi-valued RIGHT key (``article.relatedDatasets.accession``) —
+    grapheneObjects/constants.py:14-181 semantics."""
+    import pandas as pd
+
+    datasets, files, articles = [], [], []
+    for i in range(40):
+        fl = [{"name": f"f_{i}_{j}.bam"} for j in range(i % 4)]
+        if i % 5 == 0 and i > 0:
+            fl.append({"name": f"shared_{i % 3}.bam"})
+        datasets.append(
+            {
+                "accession": f"DS{i:03d}",
+                "species": ["Sus scrofa", "Bos taurus"][i % 2],
+                "file": fl,
+            }
+        )
+        for j in range(i % 4):
+            files.append(
+                {
+                    "name": f"f_{i}_{j}.bam",
+                    "size_mb": (i * 7 + j) % 100,
+                    "experiment": {"accession": f"EXP{i:03d}"},
+                }
+            )
+    for k in range(3):
+        files.append(
+            {
+                "name": f"shared_{k}.bam",
+                "size_mb": 5 + k,
+                "experiment": {"accession": f"EXPS{k:02d}"},
+            }
+        )
+    files.append(
+        {"name": "orphan.bam", "size_mb": 1, "experiment": {"accession": "EXPX"}}
+    )
+    for a in range(12):
+        rel = [{"accession": f"DS{(a * 3 + d) % 40:03d}"} for d in range(a % 3 + 1)]
+        articles.append(
+            {"_id": f"A{a:02d}", "title": f"article {a}", "relatedDatasets": rel}
+        )
+    pd.DataFrame(datasets).to_parquet(out_dir / "gql_dataset.parquet", index=False)
+    pd.DataFrame(files).to_parquet(out_dir / "gql_file.parquet", index=False)
+    pd.DataFrame(articles).to_parquet(out_dir / "gql_article.parquet", index=False)
+
+
+def _write_faang_fixture(out_dir: Path) -> None:
+    """S2/X1 fixture: an organism sheet shaped like the reference's
+    conversion output plus the pure-Python golden violations derived from
+    the vendored FAANG metadata_rules JSON-Schema documents."""
+    import pandas as pd
+
+    rows = _faang_fixture_rows()
+    pd.DataFrame(rows).to_parquet(out_dir / "samples_organism.parquet", index=False)
+    pd.DataFrame(
+        _faang_expected(rows), columns=["name", "field", "severity", "message"]
+    ).to_parquet(out_dir / "expected_faang_violations.parquet", index=False)
 
 
 # Import-time materialization keeps the DuckDB oracle independent of the
@@ -403,6 +644,121 @@ ORDER BY name
 """
 
 
+_FAANG_SHEET = str(FIX_DIR / "samples_organism.parquet")
+_EXP_FAANG = str(FIX_DIR / "expected_faang_violations.parquet")
+
+
+def samples_faang_schema(spark, sf_dir):
+    """S2/X1 end-to-end: the vendored FAANG ``metadata_rules.json``
+    documents (public dcc-metadata format — tier via
+    ``properties.mandatory.const``, ontology cells via text/term/
+    ontology_name, core/type schema split) compile to the declarative
+    Ruleset + SheetSpec, and the organism sheet validates through the
+    standard sheet path. Oracle = the independent pure-Python golden
+    derived by walking the schema JSON directly."""
+    import dataclasses
+
+    from ..rules.faang_schema import organism_ruleset
+    from ..sources.sheet_ingest import validate_sheet
+
+    ensure_fixture()
+    rs, spec = organism_ruleset()
+    # 'Sample Name' is a sheet-level column, not a schema property — the
+    # reference derives record names from it outside the ruleset
+    # (validation/helpers.py:28-47); resolve it so names don't fall back
+    spec = dataclasses.replace(spec, type_fields=spec.type_fields + ("sample_name",))
+    df = spark.read.parquet(_FAANG_SHEET)
+    return validate_sheet(df, spec, rs, name_field="sample_name").orderBy(
+        "name", "field", "message"
+    )
+
+
+FAANG_SCHEMA_SQL = f"""
+SELECT name, field, severity, message
+FROM read_parquet('{_EXP_FAANG}')
+ORDER BY name, field, message
+"""
+
+
+_GQL_DS = str(FIX_DIR / "gql_dataset.parquet")
+_GQL_FILE = str(FIX_DIR / "gql_file.parquet")
+_GQL_ART = str(FIX_DIR / "gql_article.parquet")
+
+
+def g2_catalog_joins(spark, sf_dir):
+    """J4: the shipped 35-pair index_mapping catalog drives a join with a
+    dotted multi-valued LEFT key ((dataset, file): 'file.name' through an
+    array<struct>) and a dotted multi-valued RIGHT key ((dataset,
+    article): 'relatedDatasets.accession'). Nested results flatten to
+    counts + sorted id lists so the oracle can hash them."""
+    from .join_api import fetch_with_join
+
+    ensure_fixture()
+    tables = {
+        "dataset": spark.read.parquet(_GQL_DS),
+        "file": spark.read.parquet(_GQL_FILE),
+        "article": spark.read.parquet(_GQL_ART),
+    }
+    out = fetch_with_join(tables, "dataset", {"join": {"file": {}, "article": {}}})
+
+    def _agg(col: str, key: str):
+        n = (
+            F.when(F.col(col).isNull(), F.lit(0))
+            .otherwise(F.size(col))
+            .cast("long")
+        )
+        names = F.when(F.col(col).isNull(), F.lit("")).otherwise(
+            F.array_join(F.array_sort(F.transform(F.col(col), lambda x: x[key])), ",")
+        )
+        return n, names
+
+    n_files, file_names = _agg("file_joined", "name")
+    n_articles, article_ids = _agg("article", "_id")
+    return out.select(
+        "accession",
+        n_files.alias("n_files"),
+        file_names.alias("file_names"),
+        n_articles.alias("n_articles"),
+        article_ids.alias("article_ids"),
+    ).orderBy("accession")
+
+
+G2_CATALOG_SQL = f"""
+WITH ds AS (SELECT * FROM read_parquet('{_GQL_DS}')),
+fl AS (SELECT * FROM read_parquet('{_GQL_FILE}')),
+art AS (SELECT * FROM read_parquet('{_GQL_ART}')),
+ds_fk AS (
+  SELECT accession, u.name AS fname
+  FROM (SELECT accession, unnest(file) AS u FROM ds)
+),
+files_agg AS (
+  SELECT k.accession, count(*)::BIGINT AS n_files,
+         string_agg(f.name, ',' ORDER BY f.name) AS file_names
+  FROM ds_fk k JOIN fl f ON f.name = k.fname
+  GROUP BY k.accession
+),
+art_fk AS (
+  SELECT _id, u.accession AS ds_acc
+  FROM (SELECT _id, unnest(relatedDatasets) AS u FROM art)
+),
+arts_agg AS (
+  SELECT ak.ds_acc AS accession, count(*)::BIGINT AS n_articles,
+         string_agg(ak._id, ',' ORDER BY ak._id) AS article_ids
+  FROM art_fk ak JOIN ds d ON d.accession = ak.ds_acc
+  GROUP BY ak.ds_acc
+)
+SELECT d.accession,
+       coalesce(f.n_files, 0) AS n_files,
+       coalesce(f.file_names, '') AS file_names,
+       coalesce(a.n_articles, 0) AS n_articles,
+       coalesce(a.article_ids, '') AS article_ids
+FROM ds d
+LEFT JOIN files_agg f ON f.accession = d.accession
+LEFT JOIN arts_agg a ON a.accession = d.accession
+ORDER BY d.accession
+"""
+
+
 def img_annotated_overlay(spark, sf_dir):
     """S6 annotated-template sink as a wide overlay: per row key, one
     ``<field>_issues`` column with the sorted severity:message list;
@@ -522,6 +878,8 @@ QUERIES = {
     "img_dup_phash": (img_dup_phash, IMG_DUP_SQL),
     "img_drift_hist": (img_drift_hist, IMG_DRIFT_SQL),
     "img_annotated_overlay": (img_annotated_overlay, IMG_ANNOTATED_SQL),
+    "samples_faang_schema": (samples_faang_schema, FAANG_SCHEMA_SQL),
+    "g2_catalog_joins": (g2_catalog_joins, G2_CATALOG_SQL),
     "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
     "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
     "samples_label_match": (samples_label_match, LABEL_MATCH_SQL),

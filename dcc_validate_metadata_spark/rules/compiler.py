@@ -150,6 +150,22 @@ def compile_rule(rule: Rule, df: DataFrame, table: str) -> Column | None:
             ),
         )
 
+    if rule.kind == "numeric":
+        # stringly-typed sheets: a JSON-Schema {"type": "number"} value
+        # must parse as a double (reference: remote Elixir type check, X1)
+        return F.when(
+            present & c.cast("string").try_cast("double").isNull(),
+            _violation(
+                f,
+                SEVERITY_ERROR,
+                F.concat(
+                    F.lit("Provided value '"),
+                    _sval(f),
+                    F.lit(f"' for field '{f}' is not a valid number"),
+                ),
+            ),
+        )
+
     if rule.kind == "range":
         lo, hi = p["min"], p["max"]
         return F.when(
@@ -211,9 +227,19 @@ def compile_rule(rule: Rule, df: DataFrame, table: str) -> Column | None:
 
 
 def compile_ruleset(ruleset: Ruleset, df: DataFrame) -> Column:
-    """All row-level rules fused into one array<violation> Column."""
+    """All row-level rules fused into one array<violation> Column.
+
+    Rules naming a column the frame doesn't have are skipped: a sheet
+    may omit optional ``__units``/``__term`` sibling columns entirely,
+    and a missing MANDATORY column is already attributed as a header
+    issue by sources/sheet_ingest.resolve_headers."""
     exprs = []
     for rule in ruleset.row_rules:
+        if rule.field not in df.columns:
+            continue
+        units_col = rule.params.get("units_col")
+        if units_col is not None and units_col not in df.columns:
+            continue
         col = compile_rule(rule, df, ruleset.table)
         if col is not None:
             exprs.append(col)

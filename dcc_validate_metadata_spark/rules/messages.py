@@ -39,6 +39,12 @@ def msg_enum(value: str, field: str, allowed: list[str]) -> str:
     return f"Provided value '{value}' for field '{field}' is not one of [{allowed_s}]"
 
 
+def msg_numeric(value: str, field: str) -> str:
+    # type-rule analogue of the Elixir validator's "should be number"
+    # (SURVEY.md X1) in this repo's message shape
+    return f"Provided value '{value}' for field '{field}' is not a valid number"
+
+
 def msg_range(value, field: str, lo, hi) -> str:
     return f"Provided value '{value}' for field '{field}' is out of range [{lo}, {hi}]"
 

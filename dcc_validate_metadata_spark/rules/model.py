@@ -29,7 +29,10 @@ from pathlib import Path
 from .constants import TIERS
 
 ROW_KINDS = frozenset(
-    {"regex", "enum", "range", "maxlen", "mandatory", "missing_tokens", "date_unit", "safe_name"}
+    {
+        "regex", "enum", "range", "maxlen", "mandatory", "missing_tokens",
+        "date_unit", "safe_name", "numeric",
+    }
 )
 SET_KINDS = frozenset({"unique"})
 JOIN_KINDS = frozenset({"ontology_ref"})

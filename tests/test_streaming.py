@@ -55,6 +55,17 @@ def test_stream_validates_incrementally(spark, ontology, tmp_path):
     ev3 = stream_status_events(out)
     assert sum(e["n_rows"] for e in ev3) == 500
 
+    # status events carry per-batch counts plus a running total — the
+    # total equals the sum of batch counts AND the on-disk row count
+    # (per-batch cost never rescans the accumulated directory)
+    assert all("n_violation_rows" in e for e in ev3)
+    assert ev3[-1]["total_violation_rows"] == sum(
+        e["n_violation_rows"] for e in ev3
+    )
+    assert ev3[-1]["total_violation_rows"] == v2
+    # violations are batch-scoped on disk (idempotent replay layout)
+    assert "batch" in spark.read.parquet(str(out / "violations")).columns
+
 
 def test_stream_violations_match_batch(spark, ontology, tmp_path):
     """The streaming path and the batch path produce identical violation
