@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 
 def _spark(app: str, master: str | None):
@@ -109,6 +110,76 @@ def cmd_annotate(args) -> int:
     return 0
 
 
+def cmd_validate_workbook(args) -> int:
+    """The reference's primary user flow (upload template → validate →
+    colour-coded annotated template): xlsx in, violations parquet +
+    annotated xlsx + submission status out. Exit 2 on 'Fix issues'."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from .rules.faang_schema import load_faang_ruleset, organism_ruleset
+    from .sources.sheet_ingest import validate_workbook
+    from .sources.xlsx import (
+        read_workbook,
+        workbook_to_dataframes,
+        write_annotated_workbook,
+    )
+
+    spark = _spark("dcc-validate-workbook", args.master)
+    if args.type_schema:
+        rs, spec = load_faang_ruleset(
+            args.type_schema, args.core_schema, table=args.sheet or None
+        )
+    else:
+        rs, spec = organism_ruleset()
+    spec = dataclasses.replace(
+        spec, type_fields=spec.type_fields + (args.name_field,)
+    )
+    sheets_df = workbook_to_dataframes(spark, args.input)
+    if args.sheet:
+        sheets_df = {k: v for k, v in sheets_df.items() if k == args.sheet}
+        if not sheets_df:
+            print(json.dumps({"error": f"no sheet {args.sheet!r} in workbook"}))
+            return 1
+    specs = {}
+    rulesets = {}
+    for name in sheets_df:
+        specs[name] = dataclasses.replace(spec, name=name)
+        rulesets[name] = rs
+    violations, status = validate_workbook(
+        sheets_df, specs, rulesets, name_field=args.name_field
+    )
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    violations.write.mode("overwrite").parquet(str(out / "violations"))
+    viol_disk = spark.read.parquet(str(out / "violations"))
+    write_annotated_workbook(
+        out / "annotated.xlsx",
+        read_workbook(args.input),
+        viol_disk,
+        sheet_name_field=args.name_field,
+    )
+    counts = {
+        r["severity"]: r["n"]
+        for r in viol_disk.groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "status": status,
+                "n_errors": int(counts.get("error", 0)),
+                "n_warnings": int(counts.get("warning", 0)),
+                "out": str(out),
+            }
+        )
+    )
+    spark.stop()
+    return 2 if status == "Fix issues" else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dcc_validate_metadata_spark")
     p.add_argument("--master", default=None, help="Spark master override")
@@ -144,6 +215,21 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--input", required=True)
     a.add_argument("--run-dir", required=True)
     a.set_defaults(fn=cmd_annotate)
+
+    w = sub.add_parser(
+        "validate-workbook",
+        help="validate an .xlsx template, write the annotated workbook",
+    )
+    w.add_argument("--input", required=True, help="path to the .xlsx template")
+    w.add_argument("--out", required=True)
+    w.add_argument(
+        "--type-schema", default=None,
+        help="FAANG metadata_rules.json path (default: vendored organism)",
+    )
+    w.add_argument("--core-schema", default=None)
+    w.add_argument("--sheet", default=None, help="validate only this sheet")
+    w.add_argument("--name-field", default="sample_name")
+    w.set_defaults(fn=cmd_validate_workbook)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -145,3 +145,57 @@ def label_match_violations(
             ).alias("message"),
         )
     )
+
+
+def enrich_taxon(
+    df: DataFrame,
+    taxon: DataFrame,
+    organism_col: str = "organism",
+) -> DataFrame:
+    """J12 taxon enrichment (submission/BiosamplesFileConverter.py:56-114):
+    the BioSamples converter decorates each record's organism with its
+    NCBI taxon id and scientific name before submission. The reference
+    resolves names via an HTTP lookup per record; here the taxon table is
+    a vendored snapshot joined broadcast on the lower-cased name — same
+    X3 rule as every other external fetch: snapshots join, executors
+    never call out.
+
+    Adds ``taxon_id`` (long) and ``scientific_name``; unmatched organisms
+    keep NULLs (pair with :func:`taxon_violations` for attribution)."""
+    lk = taxon.select(
+        F.lower(F.col("name")).alias("_taxname"),
+        F.col("taxon_id").cast("long").alias("taxon_id"),
+        F.col("scientific_name").alias("scientific_name"),
+    )
+    return df.join(
+        F.broadcast(lk),
+        on=F.lower(F.col(organism_col)) == F.col("_taxname"),
+        how="left",
+    ).drop("_taxname")
+
+
+def taxon_violations(
+    df: DataFrame,
+    taxon: DataFrame,
+    organism_col: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Violation rows for organisms with no taxon snapshot entry — the
+    enrichment analogue of the dangling-term check (F6 message shape)."""
+    keep = list(keep_cols)
+    enriched = enrich_taxon(df, taxon, organism_col)
+    return (
+        enriched.filter(
+            F.col(organism_col).isNotNull() & F.col("taxon_id").isNull()
+        )
+        .select(
+            *keep,
+            F.lit(organism_col).alias("field"),
+            F.lit("error").alias("severity"),
+            F.concat(
+                F.lit("Couldn't find term '"),
+                F.col(organism_col),
+                F.lit(f"' in ontology for field '{organism_col}'"),
+            ).alias("message"),
+        )
+    )

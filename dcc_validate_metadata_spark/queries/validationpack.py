@@ -77,6 +77,7 @@ def ensure_fixture() -> Path:
         _write_breeds_fixture(tmp)
         _write_faang_fixture(tmp)
         _write_graphql_fixture(tmp)
+        _write_taxon_fixture(tmp)
         (tmp / _MARKER).touch()
         shutil.rmtree(FIX_DIR, ignore_errors=True)  # stale pre-marker partial
         os.rename(tmp, FIX_DIR)
@@ -338,6 +339,38 @@ def _faang_expected(rows: list[dict], table: str = "organism") -> list[dict]:
                     M.msg_enum(str(term), fname + "__term", tenum),
                 )
     return out
+
+
+def _write_taxon_fixture(out_dir: Path) -> None:
+    """J12 fixture: a vendored NCBI-taxonomy snapshot (name → taxon id +
+    scientific name) plus a samples list with case variations and
+    unknown organisms (BiosamplesFileConverter.py:56-114 semantics)."""
+    import pandas as pd
+
+    taxa = pd.DataFrame(
+        [
+            ("Sus scrofa", 9823, "Sus scrofa"),
+            ("Bos taurus", 9913, "Bos taurus"),
+            ("Gallus gallus", 9031, "Gallus gallus"),
+            ("Ovis aries", 9940, "Ovis aries"),
+            ("Equus caballus", 9796, "Equus caballus"),
+            ("Capra hircus", 9925, "Capra hircus"),
+        ],
+        columns=["name", "taxon_id", "scientific_name"],
+    )
+    organisms = [
+        "Sus scrofa", "BOS TAURUS", "gallus gallus", "Ovis aries",
+        "Equus caballus", "Capra hircus", "Tyrannosaurus rex", "sus scrofa",
+        "Unknown beast", None,
+    ]
+    samples = pd.DataFrame(
+        {
+            "name": [f"t_{i:03d}" for i in range(60)],
+            "organism": [organisms[i % len(organisms)] for i in range(60)],
+        }
+    )
+    taxa.to_parquet(out_dir / "taxon_snapshot.parquet", index=False)
+    samples.to_parquet(out_dir / "samples_taxon.parquet", index=False)
 
 
 def _write_graphql_fixture(out_dir: Path) -> None:
@@ -805,6 +838,34 @@ FROM keys k LEFT JOIN agg a
 """
 
 
+_TAXON = str(FIX_DIR / "taxon_snapshot.parquet")
+_SAMPLES_TAXON = str(FIX_DIR / "samples_taxon.parquet")
+
+
+def j12_taxon_enrichment(spark, sf_dir):
+    """J12: broadcast taxon-snapshot enrichment (case-insensitive name
+    match) plus dangling-organism violations folded into one output —
+    found rows carry the id/scientific name, unmatched rows a NULL pair."""
+    from ..operators.referential import enrich_taxon
+
+    ensure_fixture()
+    df = spark.read.parquet(_SAMPLES_TAXON)
+    taxon = spark.read.parquet(_TAXON)
+    return (
+        enrich_taxon(df, taxon, organism_col="organism")
+        .select("name", "organism", "taxon_id", "scientific_name")
+        .orderBy("name")
+    )
+
+
+J12_TAXON_SQL = f"""
+SELECT s.name, s.organism, t.taxon_id::BIGINT AS taxon_id, t.scientific_name
+FROM read_parquet('{_SAMPLES_TAXON}') s
+LEFT JOIN read_parquet('{_TAXON}') t ON lower(t.name) = lower(s.organism)
+ORDER BY s.name
+"""
+
+
 def rel_violations(spark, sf_dir):
     """Relationship checks (J5/J8/J9): dangling parent, material-pair
     whitelist, species equality, mutual-parent cycle — all as 1-hop
@@ -880,6 +941,7 @@ QUERIES = {
     "img_annotated_overlay": (img_annotated_overlay, IMG_ANNOTATED_SQL),
     "samples_faang_schema": (samples_faang_schema, FAANG_SCHEMA_SQL),
     "g2_catalog_joins": (g2_catalog_joins, G2_CATALOG_SQL),
+    "j12_taxon_enrichment": (j12_taxon_enrichment, J12_TAXON_SQL),
     "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
     "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
     "samples_label_match": (samples_label_match, LABEL_MATCH_SQL),

@@ -123,3 +123,36 @@ def test_ivf_auto_sampling_triggers(spark):
     full1 = train_ivf_centroids(emb, n_lists=4, iters=3, sample_fraction=1.0)
     full2 = train_ivf_centroids(emb, n_lists=4, iters=3, sample_fraction=1.0)
     assert (full1 == full2).all()
+
+
+# ----------------------------------------------------- J12 taxon enrich
+
+def test_taxon_enrichment_and_violations(spark):
+    from dcc_validate_metadata_spark.operators.referential import (
+        enrich_taxon,
+        taxon_violations,
+    )
+    from dcc_validate_metadata_spark.queries.validationpack import (
+        _SAMPLES_TAXON,
+        _TAXON,
+        ensure_fixture,
+    )
+
+    ensure_fixture()
+    df = spark.read.parquet(_SAMPLES_TAXON)
+    taxon = spark.read.parquet(_TAXON)
+    enriched = enrich_taxon(df, taxon, organism_col="organism")
+    got = {r["name"]: r["taxon_id"] for r in enriched.collect()}
+    assert got["t_000"] == 9823          # exact match
+    assert got["t_001"] == 9913          # case-insensitive (BOS TAURUS)
+    assert got["t_007"] == 9823          # sus scrofa lowercased
+    assert got["t_006"] is None          # Tyrannosaurus rex: not in snapshot
+    assert got["t_009"] is None          # NULL organism stays NULL
+    viol = taxon_violations(df, taxon, "organism", keep_cols=["name"])
+    rows = viol.collect()
+    # 60 rows cycle 10 organisms: 2 unknown non-null organisms -> 12 rows
+    assert len(rows) == 12
+    assert all(r["severity"] == "error" for r in rows)
+    assert any("Tyrannosaurus rex" in r["message"] for r in rows)
+    # broadcast hint present on the tiny snapshot side
+    assert "broadcast" in enriched._jdf.queryExecution().logical().toString().lower()
