@@ -129,7 +129,10 @@ def cmd_validate_workbook(args) -> int:
     spark = _spark("dcc-validate-workbook", args.master)
     if args.type_schema:
         rs, spec = load_faang_ruleset(
-            args.type_schema, args.core_schema, table=args.sheet or None
+            args.type_schema,
+            args.core_schema,
+            table=args.sheet or None,
+            module_paths=args.module_schema or None,
         )
     else:
         rs, spec = organism_ruleset()
@@ -227,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
         help="FAANG metadata_rules.json path (default: vendored organism)",
     )
     w.add_argument("--core-schema", default=None)
+    w.add_argument(
+        "--module-schema", action="append", default=None,
+        help="module metadata_rules.json (repeatable)",
+    )
     w.add_argument("--sheet", default=None, help="validate only this sheet")
     w.add_argument("--name-field", default="sample_name")
     w.set_defaults(fn=cmd_validate_workbook)

@@ -6,18 +6,41 @@ a single ``groupBy(key)`` on a skewed key melts one reducer, so the count
 is two-phase: partial count per (key, salt) — salt derived from the
 physical partition, so hot keys split across reducers — then a final
 re-aggregation over the (tiny) partial-count table. Duplicate keys are then
-joined back onto the fact table to emit per-row violation rows. The join
-strategy is deliberately left to AQE: "duplicates are rare" holds for
-clean submissions, but a dedup-heavy training corpus can have 10-50% of
-keys duplicated, and a forced broadcast of that table OOMs at 10^12 rows.
-AQE broadcasts when the measured dup-table size is under the threshold and
-shuffles otherwise — correct on both sides.
+joined back onto the fact table to emit per-row violation rows.
+
+The join-back strategy is gated on a COUNTED size, not a blind hint:
+"duplicates are rare" holds for clean submissions, but a dedup-heavy
+training corpus can have 10-50% of keys duplicated, and an unconditional
+broadcast of that table OOMs at 10^12 rows. :func:`gated_dup_table`
+persists the aggregated dup table, probes it with ``take(threshold+1)``
+(the aggregation runs once either way — the persist means the join reuses
+it), and only then broadcasts; past the threshold the join stays a
+shuffle join, which is the correct plan when duplicates are legion.
+Relying on AQE instead would still shuffle-write the fact side before
+converting to broadcast — measurably slower on the benched pipeline.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# ~16 bytes/row aggregated (key, n): 500k rows ≈ 10-20 MB broadcast
+DUP_BROADCAST_MAX_ROWS = 500_000
+
+
+def gated_dup_table(
+    dups: DataFrame, max_broadcast_rows: int = DUP_BROADCAST_MAX_ROWS
+) -> DataFrame:
+    """Persist the aggregated dup table and broadcast it only when a
+    bounded probe proves it small. Costs one action (the aggregation the
+    join needs anyway, cached; the probe is limit+count, nothing is
+    collected); returns the hinted or plain frame."""
+    dups = dups.persist(StorageLevel.MEMORY_AND_DISK)
+    if dups.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
+        return F.broadcast(dups)
+    return dups
 
 
 def duplicate_keys(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
@@ -40,13 +63,17 @@ def uniqueness_violations(
     fields: list[str],
     keep_cols: list[str],
     n_salts: int = 16,
+    max_broadcast_rows: int = DUP_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Long-form violation rows for all duplicated values of each field:
-    (keep_cols…, field, severity, message)."""
+    (keep_cols…, field, severity, message). The dup-table join-back is
+    size-gated (see :func:`gated_dup_table`)."""
     keep = list(keep_cols)
     outs = []
     for fld in fields:
-        dups = duplicate_keys(df, fld, n_salts=n_salts)
+        dups = gated_dup_table(
+            duplicate_keys(df, fld, n_salts=n_salts), max_broadcast_rows
+        )
         v = (
             df.join(dups, on=fld, how="inner")
             .select(

@@ -56,20 +56,23 @@ def build_violations(
     psnr_min: float = 40.0,
 ) -> DataFrame:
     """All violation families as ONE wide pass over the fact table plus an
-    Arrow decode branch — lazy, no action.
+    Arrow decode branch — lazy except the per-unique-rule dup-size probe
+    (a limit+count on the aggregated dup table, see below).
 
     Set-level (uniqueness) and join-level (referential) checks fold into
     the same ``select`` as the row rules: the ontology key set is tiny by
     construction and broadcasts; the duplicate-key tables from the salted
-    two-phase agg are left unhinted so AQE broadcasts them only when their
-    measured size allows (dedup-heavy corpora make them large). Every
-    non-UDF violation struct
+    two-phase agg are size-gated (operators/uniqueness.gated_dup_table —
+    broadcast only when a counted probe proves them small; dedup-heavy
+    corpora keep the shuffle join and can never OOM a broadcast). The
+    probe makes this function run one tiny Spark action per unique rule;
+    everything else stays lazy. Every non-UDF violation struct
     is emitted from a single exploded array (the reference's three Celery
     chord branches — SURVEY.md §3.1 — collapse into one stage). The table
     is scanned with ``bytes`` pruned away; only the decode branch reads it.
     """
     from pyspark.sql import functions as F  # local alias for fused exprs
-    from ..operators.uniqueness import duplicate_keys
+    from ..operators.uniqueness import duplicate_keys, gated_dup_table
     from ..rules import messages as M
     from ..rules.compiler import VIOLATION_SCHEMA, compile_rule
 
@@ -100,11 +103,13 @@ def build_violations(
     # uniqueness: per-field dup tables (salted two-phase agg), broadcast back
     for i, rule in enumerate(ruleset.unique_rules):
         fld = rule.field
-        # No forced broadcast: the dup table is tiny for clean inputs (AQE
-        # will broadcast it from its measured size) but can reach a large
-        # fraction of the keys on dedup-heavy corpora, where a hinted
-        # broadcast would OOM — AQE then falls back to a shuffle join.
-        dups = duplicate_keys(df, fld).withColumnRenamed("n", f"_dupn_{i}")
+        # size-gated broadcast: tiny for clean inputs (broadcast, fact
+        # side untouched) but can reach a large fraction of the keys on
+        # dedup-heavy corpora, where the gate keeps the shuffle join
+        # instead of OOMing a forced broadcast
+        dups = gated_dup_table(
+            duplicate_keys(df, fld).withColumnRenamed("n", f"_dupn_{i}")
+        )
         main = main.join(dups, on=fld, how="left")
         exprs.append(
             F.when(

@@ -181,18 +181,26 @@ def ruleset_from_faang_schema(
     type_schema: dict,
     core_schema: dict | None = None,
     table: str | None = None,
+    module_schemas: list[dict] | None = None,
 ) -> tuple[Ruleset, SheetSpec]:
-    """Compile a FAANG type schema (+ optional core schema) into the
-    engine's declarative Ruleset plus the sheet template (SheetSpec) used
-    by header resolution. Mirrors the reference's type/core split
-    (``ElixirValidatorResults.py:48-62``): the ``*_core`` ``$ref`` inside
-    the type schema is ignored and the core schema contributes its own
-    fields."""
+    """Compile a FAANG type schema (+ optional core and module schemas)
+    into the engine's declarative Ruleset plus the sheet template
+    (SheetSpec) used by header resolution. Mirrors the reference's
+    type/core/module split (``ElixirValidatorResults.py:48-62``): the
+    ``*_core`` ``$ref`` inside the type schema is ignored, the core
+    schema contributes its own fields, and module schemas (e.g.
+    ``faang_samples_specimen_teleost_embryo``) append their fields to the
+    type section exactly as the reference validates each module sheet
+    against type+module rules (``ALLOWED_SHEET_NAMES`` in
+    metadata_validation_conversion/constants.py:72-96 maps teleostei
+    sheets onto the specimen schema plus a module)."""
     table = table or type_schema.get("name", "sheet")
     fields: dict[str, FieldSpec] = {}
     if core_schema is not None:
         fields.update(collect_fields(core_schema, "core"))
     fields.update(collect_fields(type_schema, "type"))
+    for mod in module_schemas or ():
+        fields.update(collect_fields(mod, "type"))
 
     rules: list[Rule] = []
     for spec in fields.values():
@@ -211,6 +219,7 @@ def load_faang_ruleset(
     type_path: str | Path,
     core_path: str | Path | None = None,
     table: str | None = None,
+    module_paths: list[str | Path] | None = None,
 ) -> tuple[Ruleset, SheetSpec]:
     """Load + compile vendored/downloaded FAANG ``metadata_rules.json``
     documents from disk (driver-side, once per run — no executor I/O)."""
@@ -218,7 +227,10 @@ def load_faang_ruleset(
     core_schema = (
         json.loads(Path(core_path).read_text()) if core_path is not None else None
     )
-    return ruleset_from_faang_schema(type_schema, core_schema, table=table)
+    modules = [json.loads(Path(p).read_text()) for p in (module_paths or ())]
+    return ruleset_from_faang_schema(
+        type_schema, core_schema, table=table, module_schemas=modules
+    )
 
 
 def organism_ruleset() -> tuple[Ruleset, SheetSpec]:

@@ -100,3 +100,50 @@ def test_missing_optional_sibling_columns_are_skipped(spark):
     assert ("S2", "project", "error") in msgs
     # S1 is clean apart from recommended-missing warnings
     assert not any(n == "S1" and s == "error" for n, f, s in msgs)
+
+
+def test_module_schema_appends_fields(spark):
+    """Module schemas (teleostei sheets = specimen type + module rules,
+    constants.py ALLOWED_SHEET_NAMES) append their fields to the type
+    section."""
+    import json
+
+    from dcc_validate_metadata_spark.rules.faang_schema import (
+        load_vendored_schema,
+        ruleset_from_faang_schema,
+    )
+
+    rs, spec = ruleset_from_faang_schema(
+        load_vendored_schema("faang_samples_organism.metadata_rules.json"),
+        load_vendored_schema("faang_samples_core.metadata_rules.json"),
+        table="teleostei embryo",
+        module_schemas=[
+            load_vendored_schema(
+                "faang_samples_specimen_teleost_embryo.metadata_rules.json"
+            )
+        ],
+    )
+    kinds = {(r.field, r.kind) for r in rs.rules}
+    assert ("origin_cross", "mandatory") in kinds
+    assert ("hatching", "enum") in kinds
+    assert ("degree_days", "numeric") in kinds
+    assert "origin_cross" in spec.type_fields and "origin_cross" in spec.mandatory
+    # module cells validate through the standard sheet path
+    sheet = spark.createDataFrame(
+        [("E1", "AxB", "pre", "310"), ("E2", None, "mid", "warm")],
+        "sample_name string, origin_cross string, hatching string, degree_days string",
+    )
+    import dataclasses
+
+    spec = dataclasses.replace(spec, type_fields=spec.type_fields + ("sample_name",))
+    from dcc_validate_metadata_spark.sources.sheet_ingest import validate_sheet
+
+    got = {
+        (r["name"], r["field"], r["severity"])
+        for r in validate_sheet(sheet, spec, rs, name_field="sample_name").collect()
+        if r["name"] in ("E1", "E2")
+    }
+    assert ("E2", "origin_cross", "error") in got      # mandatory missing
+    assert ("E2", "hatching", "error") in got          # enum violation
+    assert ("E2", "degree_days", "error") in got       # numeric violation
+    assert not any(n == "E1" and s == "error" for n, f, s in got)

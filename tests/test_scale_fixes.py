@@ -13,15 +13,15 @@ from pyspark.sql import functions as F
 # --------------------------------------------------- dup-heavy uniqueness
 
 def test_duplicate_keys_heavy_dup_results(spark):
-    """~30% duplicated keys: results stay exact and the plan carries no
-    forced broadcast hint (strategy is AQE's choice by measured size)."""
+    """~30% duplicated keys: results stay exact on BOTH sides of the
+    size gate, and the broadcast hint appears only when the counted
+    dup-table size is under the threshold."""
     from dcc_validate_metadata_spark.operators.uniqueness import (
         duplicate_keys,
         uniqueness_violations,
     )
 
-    n = 3000
-    # keys 0..999 appear once; keys 1000..1449 appear twice; 100 appears 1100x
+    # keys 0..999 appear once; 450 keys appear twice; 'hot' appears 1100x
     rows = (
         [(i, f"k{i}") for i in range(1000)]
         + [(1000 + i, f"d{i % 450}") for i in range(900)]
@@ -31,22 +31,35 @@ def test_duplicate_keys_heavy_dup_results(spark):
     dups = {r["key"]: r["n"] for r in duplicate_keys(df, "key").collect()}
     assert dups["hot"] == 1100
     assert dups["d0"] == 2 and len(dups) == 451
-    viol = uniqueness_violations(df, ["key"], keep_cols=["row_id"])
-    assert viol.count() == 900 + 1100
-    plan = viol._jdf.queryExecution().logical().toString()
-    assert "broadcast" not in plan.lower()  # no forced hint; AQE decides
+
+    # small side of the gate: 451 dup keys < default threshold → broadcast
+    viol_small = uniqueness_violations(df, ["key"], keep_cols=["row_id"])
+    assert "broadcast" in viol_small._jdf.queryExecution().logical().toString().lower()
+    assert viol_small.count() == 900 + 1100
+
+    # heavy side: force the threshold below the dup count → no broadcast
+    viol_heavy = uniqueness_violations(
+        df, ["key"], keep_cols=["row_id"], max_broadcast_rows=100
+    )
+    assert (
+        "broadcast"
+        not in viol_heavy._jdf.queryExecution().logical().toString().lower()
+    )
+    assert viol_heavy.count() == 900 + 1100
 
 
-def test_pipeline_dup_key_no_forced_broadcast(spark, fixture_dir):
+def test_pipeline_dup_key_gated_broadcast(spark, fixture_dir):
+    """The fused pipeline's dup-key join-back goes through the size gate:
+    the fixture's dup tables are tiny, so they broadcast, and the
+    violation output is unchanged."""
     from dcc_validate_metadata_spark.plans.pipeline import build_violations
     from dcc_validate_metadata_spark.sources.image_table import load_image_table
 
     df = load_image_table(spark, str(fixture_dir / "image_caption"))
     viol = build_violations(df)
     logical = viol._jdf.queryExecution().logical().toString()
-    # the ontology/ref side may broadcast; the duplicate-key joins must not
-    # carry a ResolvedHint (AQE picks strategy from runtime sizes)
-    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    assert "broadcast" in logical.lower()
+    assert viol.filter(F.col("message").contains("must be unique")).count() > 0
 
 
 # ------------------------------------------------------------- pagination
