@@ -866,6 +866,61 @@ ORDER BY s.name
 """
 
 
+_RELEASE = "2026-08-17T00:00:00Z"  # fixed release stamp (deterministic docs)
+
+
+def s8_biosamples_json(spark, sf_dir):
+    """S8: BioSamples submission payloads as one JVM concat per record
+    (taxon-resolved rows only; unresolved rows are j12's violation path).
+    The oracle rebuilds the exact document bytes with SQL concatenation."""
+    from ..sources.submission_sinks import biosamples_payloads
+
+    ensure_fixture()
+    df = spark.read.parquet(_SAMPLES_TAXON)
+    taxon = spark.read.parquet(_TAXON)
+    return biosamples_payloads(df, taxon, release=_RELEASE).orderBy("name")
+
+
+S8_BIOSAMPLES_SQL = f"""
+SELECT s.name,
+       '{{"name":"' || s.name || '","release":"{_RELEASE}","taxId":' ||
+       t.taxon_id ||
+       ',"characteristics":{{"organism":[{{"text":"' || t.scientific_name ||
+       '","ontologyTerms":["http://purl.obolibrary.org/obo/NCBITaxon_' ||
+       t.taxon_id || '"]}}]}}}}' AS payload
+FROM read_parquet('{_SAMPLES_TAXON}') s
+JOIN read_parquet('{_TAXON}') t ON lower(t.name) = lower(s.organism)
+ORDER BY s.name
+"""
+
+
+def s9_ena_sample_xml(spark, sf_dir):
+    """S9: ENA <SAMPLE> submission XML per taxon-resolved record, built
+    entirely from whole-column expressions (no lxml, no driver loop)."""
+    from ..sources.submission_sinks import ena_sample_xml
+
+    ensure_fixture()
+    df = spark.read.parquet(_SAMPLES_TAXON)
+    taxon = spark.read.parquet(_TAXON)
+    return ena_sample_xml(df, taxon, attribute_cols=["organism"]).orderBy("name")
+
+
+S9_ENA_XML_SQL = f"""
+SELECT s.name,
+       '<SAMPLE alias="' || s.name ||
+       '" center_name="FAANG"><TITLE>' || s.name ||
+       '</TITLE><SAMPLE_NAME><TAXON_ID>' || t.taxon_id ||
+       '</TAXON_ID><SCIENTIFIC_NAME>' || t.scientific_name ||
+       '</SCIENTIFIC_NAME></SAMPLE_NAME><SAMPLE_ATTRIBUTES>' ||
+       '<SAMPLE_ATTRIBUTE><TAG>organism</TAG><VALUE>' || s.organism ||
+       '</VALUE></SAMPLE_ATTRIBUTE>' ||
+       '</SAMPLE_ATTRIBUTES></SAMPLE>' AS xml
+FROM read_parquet('{_SAMPLES_TAXON}') s
+JOIN read_parquet('{_TAXON}') t ON lower(t.name) = lower(s.organism)
+ORDER BY s.name
+"""
+
+
 def rel_violations(spark, sf_dir):
     """Relationship checks (J5/J8/J9): dangling parent, material-pair
     whitelist, species equality, mutual-parent cycle — all as 1-hop
@@ -942,6 +997,8 @@ QUERIES = {
     "samples_faang_schema": (samples_faang_schema, FAANG_SCHEMA_SQL),
     "g2_catalog_joins": (g2_catalog_joins, G2_CATALOG_SQL),
     "j12_taxon_enrichment": (j12_taxon_enrichment, J12_TAXON_SQL),
+    "s8_biosamples_json": (s8_biosamples_json, S8_BIOSAMPLES_SQL),
+    "s9_ena_sample_xml": (s9_ena_sample_xml, S9_ENA_XML_SQL),
     "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
     "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
     "samples_label_match": (samples_label_match, LABEL_MATCH_SQL),
