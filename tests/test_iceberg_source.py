@@ -40,3 +40,58 @@ def test_overwrite_partitions_is_idempotent(spark, fixture_dir, tmp_path):
     overwrite_partitions(sub, out)  # rewrite same partitions: no dupes
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == sub.count()
+
+
+def test_upsert_by_key_partition_scoped(spark, tmp_path):
+    """S11 analogue: keyed upsert rewrites only the partitions the batch
+    touches; untouched partitions keep their files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dcc_validate_metadata_spark.sources.iceberg import upsert_by_key
+
+    path = str(tmp_path / "kv")
+    base = spark.createDataFrame(
+        [(f"id{i}", i % 3, f"v{i}") for i in range(30)],
+        "doc_id string, shard int, val string",
+    )
+    upsert_by_key(spark, path, base, ["doc_id"], partition_cols=["shard"])
+    before = {
+        s: sorted(os.listdir(f"{path}/shard={s}")) for s in (0, 1, 2)
+    }
+
+    # update 2 keys in shard 1, insert 1 new key in shard 1
+    updates = spark.createDataFrame(
+        [("id1", 1, "NEW1"), ("id4", 1, "NEW4"), ("id99", 1, "FRESH")],
+        "doc_id string, shard int, val string",
+    )
+    upsert_by_key(spark, path, updates, ["doc_id"], partition_cols=["shard"])
+
+    got = {r["doc_id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 31
+    assert got["id1"] == "NEW1" and got["id4"] == "NEW4" and got["id99"] == "FRESH"
+    assert got["id2"] == "v2"  # untouched key intact
+    # untouched partitions were not rewritten (same files on disk)
+    after = {s: sorted(os.listdir(f"{path}/shard={s}")) for s in (0, 2)}
+    assert after[0] == before[0] and after[2] == before[2]
+
+
+def test_upsert_by_key_unpartitioned(spark, tmp_path):
+    from dcc_validate_metadata_spark.sources.iceberg import upsert_by_key
+
+    path = str(tmp_path / "flat")
+    upsert_by_key(
+        spark,
+        path,
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"),
+        ["k"],
+    )
+    upsert_by_key(
+        spark,
+        path,
+        spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int"),
+        ["k"],
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
