@@ -1,0 +1,70 @@
+"""Driver-contract insurance: __spark_entry__ must expose every query
+deterministically from a clean interpreter (the round-1 driver snapshot
+missed 15 registered queries; this pins the contract shape so a
+regression fails CI, not the driver gate)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+EXPECTED_QUERY_COUNT = 70
+NO_ORACLE = {"ann_lsh_bucketed"}  # recall<1 by design: rows-only check
+
+
+def test_entry_contract_clean_subprocess():
+    """Import the entry module the way the driver does — fresh process,
+    repo on sys.path, no pytest fixtures — and check the contract."""
+    code = """
+import json, sys
+sys.path.insert(0, %r)
+import __spark_entry__ as e
+q = e.queries()
+o = e.oracle_sql()
+print(json.dumps({
+    "n_queries": len(q),
+    "n_oracles": len(o),
+    "no_oracle": sorted(set(q) - set(o)),
+    "extra_oracle": sorted(set(o) - set(q)),
+    "all_callable": all(callable(f) for f in q.values()),
+    "all_sql_str": all(isinstance(s, str) and s.strip() for s in o.values()),
+}))
+""" % str(REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["n_queries"] == EXPECTED_QUERY_COUNT
+    assert got["no_oracle"] == sorted(NO_ORACLE)
+    assert got["extra_oracle"] == []
+    assert got["all_callable"] and got["all_sql_str"]
+
+
+def test_registration_is_deterministic():
+    from dcc_validate_metadata_spark.queries import all_queries
+
+    names1 = list(all_queries())
+    names2 = list(all_queries())
+    assert names1 == names2
+    assert len(names1) == EXPECTED_QUERY_COUNT
+
+
+def test_fixture_rebuilds_after_tmp_wipe(tmp_path, monkeypatch):
+    """ensure_fixture survives a wiped /tmp (the driver may run on a
+    fresh machine) and is atomic: the final dir carries the marker."""
+    import dcc_validate_metadata_spark.queries.validationpack as vp
+
+    target = tmp_path / "fixdir"
+    monkeypatch.setattr(vp, "FIX_DIR", target)
+    out = vp.ensure_fixture()
+    assert (out / ".done_all").exists()
+    assert (out / "samples_organism.parquet").exists()
+    assert (out / "gql_dataset.parquet").exists()
+    assert (out / "taxon_snapshot.parquet").exists()
+    # second call is a no-op (marker short-circuit)
+    assert vp.ensure_fixture() == target
