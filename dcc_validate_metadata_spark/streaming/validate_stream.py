@@ -56,6 +56,31 @@ def stream_status_events(out_dir: str | Path) -> list[dict]:
     return recs
 
 
+def write_batch_violations(
+    spark: SparkSession, violations: DataFrame, out: Path, batch_id: int
+) -> int:
+    """Idempotent per-batch violations write: batch-scoped dynamic
+    overwrite (a replayed batch rewrites its own ``batch=N`` partitions
+    instead of appending twice). Returns the batch's own violation count
+    — read back from the written ``batch=N`` partitions, never from the
+    whole accumulated directory."""
+    tagged = violations.withColumn("batch", F.lit(int(batch_id)))
+    (
+        tagged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "fmt", "bucket")
+        .parquet(str(out / "violations"))
+    )
+    try:
+        return (
+            spark.read.parquet(str(out / "violations"))
+            .filter(F.col("batch") == int(batch_id))
+            .count()
+        )
+    except Exception:  # nothing written yet (zero-violation stream)
+        return 0
+
+
 def validate_stream(
     spark: SparkSession,
     input_path: str,
@@ -112,28 +137,8 @@ def validate_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
         n_rows = batch_df.count()
-        violations = build_violations(
-            batch_df, ruleset=ruleset, ontology=ontology
-        ).withColumn("batch", F.lit(int(batch_id)))
-        # batch-scoped dynamic overwrite: a replayed batch rewrites its own
-        # batch=N partitions — idempotent, unlike a plain append
-        (
-            violations.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch", "fmt", "bucket")
-            .parquet(str(out / "violations"))
-        )
-        # count ONLY this batch's output (parquet metadata read of the
-        # batch=N partitions) — never the whole accumulated directory,
-        # which would make per-batch cost grow with stream lifetime
-        try:
-            n_viol_batch = (
-                spark.read.parquet(str(out / "violations"))
-                .filter(F.col("batch") == int(batch_id))
-                .count()
-            )
-        except Exception:  # first batch produced no violations at all
-            n_viol_batch = 0
+        violations = build_violations(batch_df, ruleset=ruleset, ontology=ontology)
+        n_viol_batch = write_batch_violations(spark, violations, out, batch_id)
         event = {
             "batch_id": int(batch_id),
             "status": "Finished",

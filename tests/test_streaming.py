@@ -92,3 +92,31 @@ def test_stream_violations_match_batch(spark, ontology, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_batch_write_replay_is_idempotent(spark, ontology, tmp_path):
+    """A crashed-and-replayed micro-batch must not double-append: the
+    batch-scoped dynamic overwrite rewrites its own batch=N partitions."""
+    from pathlib import Path
+
+    from dcc_validate_metadata_spark.plans.pipeline import build_violations
+    from dcc_validate_metadata_spark.streaming.validate_stream import (
+        write_batch_violations,
+    )
+
+    landing = tmp_path / "landing3"
+    landing.mkdir()
+    out = tmp_path / "streamout3"
+    out.mkdir()
+    _write_landing_file(spark, landing / "part-000.parquet", range(0, 120))
+    batch_df = spark.read.parquet(str(landing / "part-000.parquet"))
+    viol = build_violations(batch_df, ontology=ontology)
+
+    n1 = write_batch_violations(spark, viol, Path(out), batch_id=0)
+    n2 = write_batch_violations(spark, viol, Path(out), batch_id=0)  # replay
+    assert n1 == n2 > 0
+    total = spark.read.parquet(str(out / "violations")).count()
+    assert total == n1  # no duplicates from the replay
+    # a different batch appends alongside, untouched by batch-0 replays
+    n3 = write_batch_violations(spark, viol, Path(out), batch_id=1)
+    assert spark.read.parquet(str(out / "violations")).count() == n1 + n3
