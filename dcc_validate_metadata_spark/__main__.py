@@ -145,13 +145,24 @@ def cmd_validate_workbook(args) -> int:
         if not sheets_df:
             print(json.dumps({"error": f"no sheet {args.sheet!r} in workbook"}))
             return 1
+    ontologies = {}
+    for item in args.ontology or ():
+        onto_name, _, onto_path = item.partition("=")
+        if not onto_path:
+            print(json.dumps({"error": f"--ontology wants NAME=path, got {item!r}"}))
+            return 1
+        ontologies[onto_name] = spark.read.parquet(onto_path)
     specs = {}
     rulesets = {}
     for name in sheets_df:
         specs[name] = dataclasses.replace(spec, name=name)
         rulesets[name] = rs
     violations, status = validate_workbook(
-        sheets_df, specs, rulesets, name_field=args.name_field
+        sheets_df,
+        specs,
+        rulesets,
+        name_field=args.name_field,
+        ontologies=ontologies or None,
     )
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -233,6 +244,11 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument(
         "--module-schema", action="append", default=None,
         help="module metadata_rules.json (repeatable)",
+    )
+    w.add_argument(
+        "--ontology", action="append", default=None, metavar="NAME=PARQUET",
+        help="ontology snapshot for graph/label checks (repeatable, "
+        "e.g. PATO=/data/pato.parquet)",
     )
     w.add_argument("--sheet", default=None, help="validate only this sheet")
     w.add_argument("--name-field", default="sample_name")

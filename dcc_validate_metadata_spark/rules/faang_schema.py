@@ -215,6 +215,90 @@ def ruleset_from_faang_schema(
     return Ruleset(table=table, rules=tuple(rules)), sheet
 
 
+def ontology_violations_for(df, ruleset: Ruleset, lookups: dict, keep_cols: list):
+    """Execute the compiled ``ontology_ref`` rules (join-level) over a
+    flattened sheet: dangling-term, label-precision (check_ols), and
+    ``graph_restriction`` subtree membership — the reference's per-record
+    OLS/Elixir RPCs (``WarningsAndAdditionalChecks.py:232-320, 418-446``)
+    as broadcast joins against vendored ontology snapshots.
+
+    ``lookups`` maps ``ontology_name`` → snapshot DataFrame with columns
+    ``term``, optional ``label`` (enables the text-precision warning) and
+    optional ``parent_term`` (enables the graph-restriction check).
+    Rules whose term column is absent from the sheet or whose ontology
+    has no snapshot are skipped — no snapshot, no check, mirroring the
+    reference's fetch-failure tolerance."""
+    from pyspark.sql import functions as F
+
+    from ..operators.referential import (
+        ancestor_closure,
+        dangling_ref_violations,
+        label_match_violations,
+    )
+    from . import messages as M  # noqa: F401  (message shapes documented there)
+
+    keep = list(keep_cols)
+    parts = []
+    for rule in ruleset.ref_rules:
+        term_col = rule.field
+        if term_col not in df.columns:
+            continue
+        lookup = (lookups or {}).get(rule.params.get("ontology_name"))
+        if lookup is None:
+            continue
+        parts.append(
+            dangling_ref_violations(df, term_col, lookup, "term", keep)
+        )
+        text_col = rule.params.get("text_col")
+        if text_col and text_col in df.columns and "label" in lookup.columns:
+            parts.append(
+                label_match_violations(df, term_col, text_col, lookup, keep)
+            )
+        gr = rule.params.get("graph_restriction")
+        if gr and "parent_term" in lookup.columns:
+            closure = ancestor_closure(lookup)
+            roots = [str(r) for r in gr.get("classes", [])]
+            valid = closure.filter(F.col("ancestor").isin(roots))
+            if not gr.get("include_self", True):
+                valid = valid.filter(~F.col("term").isin(roots))
+            valid = valid.select(F.lower("term").alias("_ok_term")).distinct()
+            present = lookup.select(F.lower("term").alias("_t")).distinct()
+            roots_s = ", ".join(roots)
+            parts.append(
+                df.filter(F.col(term_col).isNotNull())
+                # known term (dangling handled above, no double report) …
+                .join(
+                    F.broadcast(present),
+                    on=F.lower(F.col(term_col)) == F.col("_t"),
+                    how="left_semi",
+                )
+                # … but NOT inside the required subtree
+                .join(
+                    F.broadcast(valid),
+                    on=F.lower(F.col(term_col)) == F.col("_ok_term"),
+                    how="left_anti",
+                )
+                .select(
+                    *keep,
+                    F.lit(term_col).alias("field"),
+                    F.lit("error").alias("severity"),
+                    F.concat(
+                        F.lit("Provided term '"),
+                        F.col(term_col),
+                        F.lit(f"' is not child of '{roots_s}'"),
+                    ).alias("message"),
+                )
+            )
+    if not parts:
+        schema = ", ".join(f"`{c}` string" for c in keep)
+        return df.sparkSession.createDataFrame(
+            [], f"{schema}, field string, severity string, message string"
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def load_faang_ruleset(
     type_path: str | Path,
     core_path: str | Path | None = None,

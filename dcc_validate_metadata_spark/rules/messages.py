@@ -71,6 +71,12 @@ def msg_dangling_term(term: str, field: str) -> str:
     return f"Couldn't find term '{term}' in ontology for field '{field}'"
 
 
+def msg_graph_restriction(term: str, roots: list[str]) -> str:
+    # Elixir-validator graph_restriction failure shape (X1/X2)
+    roots_s = ", ".join(roots)
+    return f"Provided term '{term}' is not child of '{roots_s}'"
+
+
 def msg_decode_failed(err: str) -> str:
     return f"Field 'bytes' could not be decoded: {err}"
 

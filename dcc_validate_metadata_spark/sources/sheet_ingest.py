@@ -113,6 +113,7 @@ def validate_sheet(
     spec: SheetSpec,
     ruleset,
     name_field: str = "sample_name",
+    ontologies: dict | None = None,
 ) -> DataFrame:
     """The reference's full conversion→validation flow in one lazy plan
     (S3 header resolution → S4 projection → rule families):
@@ -122,7 +123,11 @@ def validate_sheet(
     * header-level issues (duplicate / missing mandatory columns) become
       violation rows attributed to the sheet pseudo-record;
     * cell values flatten back to ``field`` / ``field__units`` columns so
-      the SAME rule compiler used for columnar tables runs unchanged.
+      the SAME rule compiler used for columnar tables runs unchanged;
+    * with ``ontologies`` (``ontology_name`` → snapshot DataFrame), the
+      ruleset's join-level ``ontology_ref`` rules also run — dangling
+      term, label precision, graph restriction — via
+      rules/faang_schema.ontology_violations_for.
 
     Returns violations ``(name, field, severity, message)``.
     """
@@ -156,6 +161,12 @@ def validate_sheet(
     flat = flat.select(name, *[c for c in flat.columns if c != "_row"])
 
     viol = violations_for(flat, ruleset, keep_cols=["name"])
+    if ontologies:
+        from ..rules.faang_schema import ontology_violations_for
+
+        viol = viol.unionByName(
+            ontology_violations_for(flat, ruleset, ontologies, keep_cols=["name"])
+        )
 
     if res.issues:
         spark = df.sparkSession
@@ -172,6 +183,7 @@ def validate_workbook(
     specs: dict[str, SheetSpec],
     rulesets: dict,
     name_field: str = "sample_name",
+    ontologies: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """Whole-workbook validation (the reference's submission unit): every
     sheet through :func:`validate_sheet`, violations unioned with a
@@ -187,7 +199,11 @@ def validate_workbook(
     parts = []
     for sheet_name, df in sheets.items():
         v = validate_sheet(
-            df, specs[sheet_name], rulesets[sheet_name], name_field=name_field
+            df,
+            specs[sheet_name],
+            rulesets[sheet_name],
+            name_field=name_field,
+            ontologies=ontologies,
         )
         parts.append(v.select(FF.lit(sheet_name).alias("sheet"), "*"))
     violations = reduce(DataFrame.unionByName, parts)

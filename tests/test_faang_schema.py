@@ -147,3 +147,57 @@ def test_module_schema_appends_fields(spark):
     assert ("E2", "hatching", "error") in got          # enum violation
     assert ("E2", "degree_days", "error") in got       # numeric violation
     assert not any(n == "E1" and s == "error" for n, f, s in got)
+
+
+def test_ontology_ref_rules_execute_with_snapshots(spark):
+    """X2 end-to-end from the compiled schema: dangling term, label
+    precision, and graph_restriction (incl. include_self=false for sex)
+    all run as broadcast joins when snapshots are supplied."""
+    from dcc_validate_metadata_spark.sources.sheet_ingest import validate_sheet
+
+    pato = spark.createDataFrame(
+        [
+            ("PATO:0000001", "quality", None),
+            ("PATO:0000047", "biological sex", "PATO:0000001"),
+            ("PATO:0000383", "female", "PATO:0000047"),
+            ("PATO:0000384", "male", "PATO:0000047"),
+            ("PATO:0000461", "normal", "PATO:0000001"),
+        ],
+        "term string, label string, parent_term string",
+    )
+    rs, spec = organism_ruleset()
+    spec = dataclasses.replace(spec, type_fields=spec.type_fields + ("sample_name",))
+    sheet = spark.createDataFrame(
+        [
+            # name, sex text, sex term
+            ("OK", "female", "PATO:0000383"),
+            ("DANGLING", "female", "PATO:9999999"),
+            ("WRONG_TREE", "normal", "PATO:0000461"),
+            ("SELF_ROOT", "biological sex", "PATO:0000047"),
+            ("LABEL_OFF", "Female animal", "PATO:0000383"),
+        ],
+        "sample_name string, sex string, sex__term string",
+    )
+    viol = validate_sheet(
+        sheet, spec, rs, name_field="sample_name", ontologies={"PATO": pato}
+    )
+    got = {
+        (r["name"], r["severity"]): r["message"]
+        for r in viol.collect()
+        if r["field"] in ("sex", "sex__term")
+    }
+    assert got[("DANGLING", "error")] == (
+        "Couldn't find term 'PATO:9999999' in ontology for field 'sex__term'"
+    )
+    assert got[("WRONG_TREE", "error")] == (
+        "Provided term 'PATO:0000461' is not child of 'PATO:0000047'"
+    )
+    # include_self=false: the root itself is NOT a valid sex term
+    assert got[("SELF_ROOT", "error")] == (
+        "Provided term 'PATO:0000047' is not child of 'PATO:0000047'"
+    )
+    assert got[("LABEL_OFF", "warning")] == (
+        "Provided value 'Female animal' doesn't precisely match 'female' "
+        "for term 'PATO:0000383'"
+    )
+    assert ("OK", "error") not in got and ("OK", "warning") not in got
