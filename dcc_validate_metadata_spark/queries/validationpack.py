@@ -195,6 +195,20 @@ def _faang_fixture_rows() -> list[dict]:
             "birth_weight__units": "kilograms",
             "pedigree": "https://pedigree.example.org/entry",
         }
+        # ontology-plant cycle (independent of the row-rule slots below:
+        # these columns carry no row-level rules, so the row-rule golden
+        # is untouched)
+        oslot = i % 8
+        if oslot == 1:
+            r["sex__term"] = "PATO:9999999"      # dangling term
+        elif oslot == 2:
+            r["sex__term"] = "PATO:0000461"      # outside the sex subtree
+        elif oslot == 3:
+            r["sex__term"] = "PATO:0000047"      # the root itself (include_self=false)
+        elif oslot == 4:
+            r["sex"] = "FEMALE animal"           # label-precision mismatch
+        elif oslot == 5:
+            r["organism__term"] = "NCBITaxon:777"  # dangling in NCBITaxon
         slot = i % 16
         if slot == 1:
             r["material"] = "tissue sample"        # text-enum violation
@@ -433,6 +447,25 @@ def _write_faang_fixture(out_dir: Path) -> None:
     pd.DataFrame(
         _faang_expected(rows), columns=["name", "field", "severity", "message"]
     ).to_parquet(out_dir / "expected_faang_violations.parquet", index=False)
+    # ontology snapshots for the compiled ontology_ref rules (X2 path)
+    pd.DataFrame(
+        [
+            ("PATO:0000001", "quality", None),
+            ("PATO:0000047", "biological sex", "PATO:0000001"),
+            ("PATO:0000383", "female", "PATO:0000047"),
+            ("PATO:0000384", "male", "PATO:0000047"),
+            ("PATO:0000461", "healthy", "PATO:0000001"),
+        ],
+        columns=["term", "label", "parent_term"],
+    ).to_parquet(out_dir / "pato_snapshot.parquet", index=False)
+    pd.DataFrame(
+        [
+            ("NCBITaxon:1", "root", None),
+            ("NCBITaxon:9823", "Sus scrofa", "NCBITaxon:1"),
+            ("NCBITaxon:9913", "Bos taurus", "NCBITaxon:1"),
+        ],
+        columns=["term", "label", "parent_term"],
+    ).to_parquet(out_dir / "ncbitaxon_snapshot.parquet", index=False)
 
 
 # Import-time materialization keeps the DuckDB oracle independent of the
@@ -792,6 +825,112 @@ ORDER BY d.accession
 """
 
 
+_PATO = str(FIX_DIR / "pato_snapshot.parquet")
+_NCBI = str(FIX_DIR / "ncbitaxon_snapshot.parquet")
+
+
+def samples_faang_onto(spark, sf_dir):
+    """X2 via the compiled schema: the organism ruleset's ontology_ref
+    rules execute against vendored PATO/NCBITaxon snapshots — dangling
+    term, label precision, graph restriction (include_self honoured).
+    Oracle reimplements all three families with recursive CTEs."""
+    from ..rules.faang_schema import ontology_violations_for, organism_ruleset
+
+    ensure_fixture()
+    rs, _spec = organism_ruleset()
+    df = spark.read.parquet(_FAANG_SHEET)
+    onts = {
+        "PATO": spark.read.parquet(_PATO),
+        "NCBITaxon": spark.read.parquet(_NCBI),
+    }
+    return ontology_violations_for(
+        df, rs, onts, keep_cols=["sample_name"]
+    ).orderBy("sample_name", "field", "message")
+
+
+FAANG_ONTO_SQL = f"""
+WITH RECURSIVE sheet AS (SELECT * FROM read_parquet('{_FAANG_SHEET}')),
+pato AS (SELECT * FROM read_parquet('{_PATO}')),
+ncbi AS (SELECT * FROM read_parquet('{_NCBI}')),
+pato_closure(term, ancestor) AS (
+  SELECT term, term FROM pato
+  UNION ALL
+  SELECT c.term, o.parent_term FROM pato_closure c
+  JOIN pato o ON o.term = c.ancestor WHERE o.parent_term IS NOT NULL
+),
+ncbi_closure(term, ancestor) AS (
+  SELECT term, term FROM ncbi
+  UNION ALL
+  SELECT c.term, o.parent_term FROM ncbi_closure c
+  JOIN ncbi o ON o.term = c.ancestor WHERE o.parent_term IS NOT NULL
+),
+sex_valid AS (
+  SELECT lower(term) AS t FROM pato_closure
+  WHERE ancestor = 'PATO:0000047' AND term <> 'PATO:0000047'
+),
+org_valid AS (
+  SELECT lower(term) AS t FROM ncbi_closure WHERE ancestor = 'NCBITaxon:1'
+)
+SELECT sample_name, field, severity, message FROM (
+  -- organism__term: dangling / label / graph (include_self=true)
+  SELECT s.sample_name, 'organism__term' AS field, 'error' AS severity,
+         'Couldn''t find term ''' || s.organism__term ||
+         ''' in ontology for field ''organism__term''' AS message
+  FROM sheet s WHERE s.organism__term IS NOT NULL
+    AND lower(s.organism__term) NOT IN (SELECT lower(term) FROM ncbi)
+  UNION ALL
+  SELECT s.sample_name, 'organism', 'warning',
+         'Provided value ''' || s.organism || ''' doesn''t precisely match '''
+           || o.label || ''' for term ''' || s.organism__term || ''''
+  FROM sheet s JOIN ncbi o ON o.term = s.organism__term
+  WHERE s.organism IS NOT NULL AND lower(s.organism) <> lower(o.label)
+  UNION ALL
+  SELECT s.sample_name, 'organism__term', 'error',
+         'Provided term ''' || s.organism__term ||
+         ''' is not child of ''NCBITaxon:1'''
+  FROM sheet s WHERE s.organism__term IS NOT NULL
+    AND lower(s.organism__term) IN (SELECT lower(term) FROM ncbi)
+    AND lower(s.organism__term) NOT IN (SELECT t FROM org_valid)
+  -- sex__term: dangling / label / graph (include_self=false)
+  UNION ALL
+  SELECT s.sample_name, 'sex__term', 'error',
+         'Couldn''t find term ''' || s.sex__term ||
+         ''' in ontology for field ''sex__term'''
+  FROM sheet s WHERE s.sex__term IS NOT NULL
+    AND lower(s.sex__term) NOT IN (SELECT lower(term) FROM pato)
+  UNION ALL
+  SELECT s.sample_name, 'sex', 'warning',
+         'Provided value ''' || s.sex || ''' doesn''t precisely match '''
+           || o.label || ''' for term ''' || s.sex__term || ''''
+  FROM sheet s JOIN pato o ON o.term = s.sex__term
+  WHERE s.sex IS NOT NULL AND lower(s.sex) <> lower(o.label)
+  UNION ALL
+  SELECT s.sample_name, 'sex__term', 'error',
+         'Provided term ''' || s.sex__term ||
+         ''' is not child of ''PATO:0000047'''
+  FROM sheet s WHERE s.sex__term IS NOT NULL
+    AND lower(s.sex__term) IN (SELECT lower(term) FROM pato)
+    AND lower(s.sex__term) NOT IN (SELECT t FROM sex_valid)
+  -- health_status__term: dangling / label (no graph restriction)
+  UNION ALL
+  SELECT s.sample_name, 'health_status__term', 'error',
+         'Couldn''t find term ''' || s.health_status__term ||
+         ''' in ontology for field ''health_status__term'''
+  FROM sheet s WHERE s.health_status__term IS NOT NULL
+    AND lower(s.health_status__term) NOT IN (SELECT lower(term) FROM pato)
+  UNION ALL
+  SELECT s.sample_name, 'health_status', 'warning',
+         'Provided value ''' || s.health_status ||
+         ''' doesn''t precisely match ''' || o.label || ''' for term ''' ||
+         s.health_status__term || ''''
+  FROM sheet s JOIN pato o ON o.term = s.health_status__term
+  WHERE s.health_status IS NOT NULL
+    AND lower(s.health_status) <> lower(o.label)
+)
+ORDER BY sample_name, field, message
+"""
+
+
 def img_annotated_overlay(spark, sf_dir):
     """S6 annotated-template sink as a wide overlay: per row key, one
     ``<field>_issues`` column with the sorted severity:message list;
@@ -995,6 +1134,7 @@ QUERIES = {
     "img_drift_hist": (img_drift_hist, IMG_DRIFT_SQL),
     "img_annotated_overlay": (img_annotated_overlay, IMG_ANNOTATED_SQL),
     "samples_faang_schema": (samples_faang_schema, FAANG_SCHEMA_SQL),
+    "samples_faang_onto": (samples_faang_onto, FAANG_ONTO_SQL),
     "g2_catalog_joins": (g2_catalog_joins, G2_CATALOG_SQL),
     "j12_taxon_enrichment": (j12_taxon_enrichment, J12_TAXON_SQL),
     "s8_biosamples_json": (s8_biosamples_json, S8_BIOSAMPLES_SQL),
