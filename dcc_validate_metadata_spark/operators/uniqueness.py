@@ -29,6 +29,24 @@ from pyspark.storagelevel import StorageLevel
 # ~16 bytes/row aggregated (key, n): 500k rows ≈ 10-20 MB broadcast
 DUP_BROADCAST_MAX_ROWS = 500_000
 
+# persisted dup tables awaiting release — long-lived sessions (streaming
+# foreachBatch, repeated run_validation) call release_dup_tables() after
+# consuming the plan, or the block manager would accumulate one cached
+# table per unique rule per batch forever
+_PERSISTED_DUPS: list[DataFrame] = []
+
+
+def release_dup_tables() -> int:
+    """Unpersist every dup table cached by :func:`gated_dup_table` since
+    the last release. Safe once the violations consuming them have been
+    written/collected (re-use after release just recomputes). Returns
+    the number released."""
+    n = 0
+    while _PERSISTED_DUPS:
+        _PERSISTED_DUPS.pop().unpersist()
+        n += 1
+    return n
+
 
 def gated_dup_table(
     dups: DataFrame, max_broadcast_rows: int = DUP_BROADCAST_MAX_ROWS
@@ -36,8 +54,11 @@ def gated_dup_table(
     """Persist the aggregated dup table and broadcast it only when a
     bounded probe proves it small. Costs one action (the aggregation the
     join needs anyway, cached; the probe is limit+count, nothing is
-    collected); returns the hinted or plain frame."""
+    collected); returns the hinted or plain frame. The persist is
+    tracked — callers that loop call :func:`release_dup_tables` after
+    materializing downstream results."""
     dups = dups.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_DUPS.append(dups)
     if dups.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
         return F.broadcast(dups)
     return dups

@@ -345,6 +345,13 @@ def run_validation(
     verdicts_rows = verdicts.collect()  # tiny: one row per partition
     verdicts.write.mode("overwrite").parquet(str(out / "verdicts"))
 
+    # violations + verdicts are on disk: drop the cached dup tables so a
+    # long-lived session (bench loops, repeated resumes) doesn't
+    # accumulate block-manager storage
+    from ..operators.uniqueness import release_dup_tables
+
+    release_dup_tables()
+
     row_counts = {
         (r["fmt"], r["bucket"]): r["n"]
         for r in df.groupBy(*PART_KEYS).agg(F.count(F.lit(1)).alias("n")).collect()

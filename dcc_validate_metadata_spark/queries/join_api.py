@@ -26,7 +26,7 @@ keys matches ANY of the other side's keys — the reference's
 ``generate_index_map`` fan-out, as a shuffle join instead of a
 driver-side dict.
 
-The full 35-pair catalog (``grapheneObjects/constants.py:14-181``
+The full 38-pair catalog (``grapheneObjects/constants.py:14-181``
 ``index_mapping``) ships as :data:`INDEX_MAPPING`, keyed by logical
 index name (the reference's date-stamped ES index names dropped). The
 depth guard is kept for API parity (``MAX_FILTER_QUERY_DEPTH = 3`` —
@@ -94,8 +94,19 @@ def resolve_key(df: DataFrame, key: str) -> tuple[Column, bool]:
     path whose prefix traverses an ``array<struct>`` (Spark's field
     extraction over arrays returns the collected array, matching the
     reference's flatten_json fan-out)."""
+    _, nesting = _key_nesting(df, key)
+    return F.col(key), nesting > 0
+
+
+def _key_nesting(df: DataFrame, key: str) -> tuple[T.DataType, int]:
+    """Walk the dotted path; return (leaf type, array nesting depth of
+    the RESOLVED column). Each array traversed along the path adds one
+    level (Spark's field extraction over an array collects an array),
+    and an array-typed leaf adds one more — e.g. ``specimens.derivedFrom``
+    with specimens: array<struct<derivedFrom: array<string>>> resolves to
+    array<array<string>> → depth 2."""
     cur: T.DataType = T.StructType(df.schema.fields)
-    is_multi = False
+    depth = 0
     for seg in key.split("."):
         if isinstance(cur, T.ArrayType):
             cur = cur.elementType
@@ -103,37 +114,22 @@ def resolve_key(df: DataFrame, key: str) -> tuple[Column, bool]:
             raise ValueError(f"unknown join key {key!r} (at segment {seg!r})")
         cur = cur[seg].dataType
         if isinstance(cur, T.ArrayType):
-            is_multi = True
-    return F.col(key), is_multi
+            depth += 1
+    return cur, depth
 
 
 def _scalar_key(df: DataFrame, key: str, alias: str) -> tuple[DataFrame, bool]:
     """Project the key to one scalar column ``alias``, exploding
-    multi-valued keys (each row repeated per key value)."""
-    col, is_multi = resolve_key(df, key)
-    if is_multi:
-        # flatten handles array-of-array (dotted path through nested
-        # arrays); explode_outer keeps keyless rows for left joins
-        arr = col
-        if isinstance(_key_type(df, key), T.ArrayType) and isinstance(
-            _key_type(df, key).elementType, T.ArrayType
-        ):
+    multi-valued keys (each row repeated per key value). Nested arrays
+    (array leaf under an array prefix) are flattened down to one level
+    before the explode so the join key is always scalar."""
+    _, depth = _key_nesting(df, key)
+    if depth > 0:
+        arr = F.col(key)
+        for _ in range(depth - 1):
             arr = F.flatten(arr)
         return df.withColumn(alias, F.explode_outer(arr)), True
-    return df.withColumn(alias, col), False
-
-
-def _key_type(df: DataFrame, key: str) -> T.DataType:
-    cur: T.DataType = T.StructType(df.schema.fields)
-    multi = False
-    for seg in key.split("."):
-        if isinstance(cur, T.ArrayType):
-            cur = cur.elementType
-            multi = True
-        cur = cur[seg].dataType
-    if multi and not isinstance(cur, T.ArrayType):
-        return T.ArrayType(cur)
-    return cur
+    return df.withColumn(alias, F.col(key)), False
 
 
 def fetch_with_join(
@@ -183,9 +179,15 @@ def fetch_with_join(
             df = df.join(nested, on=lcol == nested["_jk"], how="left").drop("_jk")
         else:
             # multi-valued left FK: explode to scalar keys, join, then
-            # re-aggregate the matched nests back onto the original row
+            # re-aggregate the matched nests back onto the original row.
+            # monotonically_increasing_id is nondeterministic across plan
+            # re-evaluations, and _row_id feeds BOTH branches of a
+            # self-join — persist so the ids are materialized exactly once
+            # (row-id-sized cache, bounded by the left table)
             left_cols = df.columns
-            with_id = df.withColumn("_row_id", F.monotonically_increasing_id())
+            with_id = df.withColumn(
+                "_row_id", F.monotonically_increasing_id()
+            ).persist()
             exploded, _ = _scalar_key(with_id, left_key, "_lk")
             matched = (
                 exploded.select("_row_id", "_lk")

@@ -118,11 +118,25 @@ def es_like_search(
         # (matching the raw string would misread a field named '*desc');
         # with no sort, a deterministic all-column tuple keeps successive
         # pages disjoint across separate queries.
-        order = (
-            [F.desc(sort_field)] if sort_dir == "desc"
-            else [F.asc(sort_field)] if sort_field
-            else [F.asc(c) for c in out.columns]
-        )
+        if sort_field:
+            order = [F.desc(sort_field) if sort_dir == "desc" else F.asc(sort_field)]
+        else:
+            # deterministic all-column tuple, restricted to ORDERABLE
+            # types (map columns can't be sort keys); if nothing is
+            # orderable the caller must supply a sort
+            from pyspark.sql import types as T
+
+            orderable = [
+                f.name
+                for f in out.schema.fields
+                if not isinstance(f.dataType, T.MapType)
+            ]
+            if not orderable:
+                raise ValueError(
+                    "offset pagination without a sort needs at least one "
+                    "orderable (non-map) column"
+                )
+            order = [F.asc(c) for c in orderable]
         # top-(from_+size) first: Spark plans orderBy+limit as a
         # distributed TakeOrderedAndProject, so the row_number window
         # below sees at most from_+size rows — its single task is bounded

@@ -45,11 +45,13 @@ def ensure_fixture() -> Path:
     if marker.exists():
         return FIX_DIR
     lock = FIX_DIR.parent / (FIX_DIR.name + ".lock")
+    my_pid = str(os.getpid())
     fd: int | None = None
     try:
         while fd is None:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, my_pid.encode())  # ownership tag
             except FileExistsError:
                 # Another process is building: wait for its marker, or
                 # break a stale lock left by a crashed builder.
@@ -80,11 +82,26 @@ def ensure_fixture() -> Path:
         _write_taxon_fixture(tmp)
         (tmp / _MARKER).touch()
         shutil.rmtree(FIX_DIR, ignore_errors=True)  # stale pre-marker partial
-        os.rename(tmp, FIX_DIR)
+        try:
+            os.rename(tmp, FIX_DIR)
+        except OSError:
+            # lost a finish race (our stale lock was broken by a waiter
+            # that rebuilt concurrently): if a COMPLETE fixture landed,
+            # that's success — only surface the error otherwise
+            if not marker.exists():
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     finally:
         if fd is not None:
             os.close(fd)
-            lock.unlink(missing_ok=True)
+            try:
+                # unlink only a lock we still own — if a waiter declared
+                # ours stale and replaced it, removing THEIRS would admit
+                # a third concurrent builder
+                if lock.read_text() == my_pid:
+                    lock.unlink(missing_ok=True)
+            except OSError:
+                pass
     return FIX_DIR
 
 

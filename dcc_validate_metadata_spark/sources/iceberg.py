@@ -137,6 +137,14 @@ def upsert_by_key(
       Untouched partitions are never read or rewritten, so the cost is
       O(touched partitions), not O(table) — the property that matters
       when one batch touches 10 of 10^5 partitions.
+
+    Partition-stability contract (fallback path): with ``partition_cols``
+    set, a key's partition value must be stable across updates (the id
+    determines its partition, like ES routing) — a key that MOVES
+    partitions would leave its old row behind because only touched
+    partitions are merged. Keys without that property need
+    ``partition_cols=None`` (full-table merge) or the Iceberg MERGE path,
+    both of which handle moves correctly.
     """
     from pyspark.sql import functions as F
 
@@ -149,9 +157,16 @@ def upsert_by_key(
             "WHEN NOT MATCHED THEN INSERT *"
         )
         return
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(table_or_path)
-    except Exception:  # first write: nothing to merge
+    except AnalysisException as e:
+        # ONLY a missing table is a first write; any other failure
+        # (corrupt footer, permissions, transient FS error) must raise —
+        # falling through would overwrite the whole table with the batch
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         writer = updates.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)

@@ -46,6 +46,12 @@ def xml_escape(c: Column) -> Column:
     )
 
 
+def xml_escape_attr(c: Column) -> Column:
+    """Attribute-context escaping: text escaping PLUS the double quote,
+    since the value is emitted inside ``name="..."`` delimiters."""
+    return F.regexp_replace(xml_escape(c), '"', "&quot;")
+
+
 def biosamples_payloads(
     df: DataFrame,
     taxon: DataFrame,
@@ -144,7 +150,7 @@ def ena_sample_xml(
         )
     xml = F.concat(
         F.lit('<SAMPLE alias="'),
-        xml_escape(F.col(name_col)),
+        xml_escape_attr(F.col(name_col)),
         F.lit(f'" center_name="{center_name}"><TITLE>'),
         xml_escape(F.col(name_col)),
         F.lit("</TITLE><SAMPLE_NAME><TAXON_ID>"),

@@ -257,8 +257,10 @@ def write_workbook(
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">',
     ]
     for i, name in enumerate(names):
+        # attribute context: quotes must also be escaped
+        safe = escape(name, {'"': "&quot;"})
         wb.append(
-            f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name="{safe}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         )
         wb_rels.append(
             f'<Relationship Id="rId{i + 1}" '

@@ -71,14 +71,21 @@ def write_batch_violations(
         .partitionBy("batch", "fmt", "bucket")
         .parquet(str(out / "violations"))
     )
+    from pyspark.errors import AnalysisException
+
     try:
         return (
             spark.read.parquet(str(out / "violations"))
             .filter(F.col("batch") == int(batch_id))
             .count()
         )
-    except Exception:  # nothing written yet (zero-violation stream)
-        return 0
+    except AnalysisException as e:
+        # only "no directory yet" means a zero-violation stream; any
+        # other failure must surface, or the status events would record
+        # a silently-wrong 0 and the running total would drift
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return 0
+        raise
 
 
 def validate_stream(
@@ -135,10 +142,15 @@ def validate_stream(
             return 0
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.uniqueness import release_dup_tables
+
         t0 = time.time()
         n_rows = batch_df.count()
         violations = build_violations(batch_df, ruleset=ruleset, ontology=ontology)
         n_viol_batch = write_batch_violations(spark, violations, out, batch_id)
+        # the batch's violations are on disk: release the per-unique-rule
+        # dup-table caches, or thousands of micro-batches leak storage
+        release_dup_tables()
         event = {
             "batch_id": int(batch_id),
             "status": "Finished",

@@ -99,3 +99,29 @@ def test_article_side_uses_its_own_multivalued_left_key(gql_tables):
 def test_unknown_pair_raises(gql_tables):
     with pytest.raises(ValueError, match="no join mapping"):
         fetch_with_join(gql_tables, "dataset", {"join": {"protocol_files": {}}})
+
+
+def test_array_of_array_key_flattens(spark):
+    """protocol_samples-shaped key: 'specimens.derivedFrom' where
+    specimens is array<struct> and derivedFrom is itself array<string>
+    resolves to array<array<string>> — must flatten to scalar keys."""
+    ps = spark.createDataFrame(
+        [
+            ("P1", [{"id": "s1", "derivedFrom": ["o1", "o2"]},
+                    {"id": "s2", "derivedFrom": ["o3"]}]),
+            ("P2", [{"id": "s3", "derivedFrom": []}]),
+        ],
+        "key string, specimens array<struct<id string, derivedFrom array<string>>>",
+    )
+    org = spark.createDataFrame(
+        [("o1", "pig"), ("o2", "cow"), ("o9", "hen")],
+        "biosampleId string, species string",
+    )
+    out = fetch_with_join(
+        {"protocol_samples": ps, "organism": org},
+        "protocol_samples",
+        {"join": {"organism": {}}},
+    )
+    rows = {r["key"]: r["organism"] for r in out.collect()}
+    assert {o["biosampleId"] for o in rows["P1"]} == {"o1", "o2"}
+    assert rows["P2"] is None

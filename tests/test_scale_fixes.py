@@ -169,3 +169,35 @@ def test_taxon_enrichment_and_violations(spark):
     assert any("Tyrannosaurus rex" in r["message"] for r in rows)
     # broadcast hint present on the tiny snapshot side
     assert "broadcast" in enriched._jdf.queryExecution().logical().toString().lower()
+
+
+def test_release_dup_tables_drains_registry(spark):
+    from dcc_validate_metadata_spark.operators.uniqueness import (
+        _PERSISTED_DUPS,
+        duplicate_keys,
+        gated_dup_table,
+        release_dup_tables,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 40}") for i in range(100)], "row_id int, key string"
+    )
+    gated_dup_table(duplicate_keys(df, "key"))
+    gated_dup_table(duplicate_keys(df, "key"))
+    assert len(_PERSISTED_DUPS) >= 2
+    released = release_dup_tables()
+    assert released >= 2 and not _PERSISTED_DUPS
+
+
+def test_offset_pagination_with_map_column(spark):
+    """No-sort offset must skip unorderable map columns instead of
+    raising, and still page deterministically."""
+    from dcc_validate_metadata_spark.queries.search_api import es_like_search
+
+    df = spark.createDataFrame(
+        [(f"id{i:02d}", {"k": str(i)}) for i in range(20)],
+        "rec_id string, props map<string,string>",
+    )
+    a = {r["rec_id"] for r in es_like_search(df, from_=0, size=10).collect()}
+    b = {r["rec_id"] for r in es_like_search(df, from_=10, size=10).collect()}
+    assert not (a & b) and len(a | b) == 20
