@@ -1,20 +1,27 @@
 """Audio/video columns: opaque binary payloads + typed metadata structs.
 
-Multimodal training-data plumbing (graft-added). This container has no
-audio/video codecs, so the DECODE STEP IS STUBBED — clearly marked below
-— behind either ``NotImplementedError`` (default) or a deterministic
-fake used by the tests. Everything Spark-side is REAL and what matters
-at 100 TB: the schema contract (binary payload + metadata struct), the
-pruned projection into the UDF stage, the Arrow batch shape, and the
-per-row fan-out of frame sampling (one input row → k frame rows via the
-iterator protocol, no driver involvement).
+Multimodal training-data plumbing (graft-added). Decode support:
 
-Swap ``_decode_audio_stub`` / ``_decode_frame_stub`` for soundfile /
-PyAV calls on a real cluster; no signature changes.
+* **PCM WAV audio is decoded for real** — RIFF/WAVE is a stdlib format
+  (``wave`` + numpy), no codec library needed. 16/32-bit PCM, any
+  channel count (downmixed to mono for features).
+* Compressed audio (mp3/flac/ogg) and ALL video decoding are STUBBED —
+  clearly marked below — behind ``NotImplementedError`` (default) or a
+  deterministic fake used by tests. This container has no such codecs;
+  swap ``_decode_audio_stub`` / ``_decode_frame_stub`` for soundfile /
+  PyAV calls on a real cluster, no signature changes.
+
+Everything Spark-side is REAL and what matters at 100 TB: the schema
+contract (binary payload + metadata struct), the pruned projection into
+the UDF stage, the Arrow batch shape, and the per-row fan-out of frame
+sampling (one input row → k frame rows via the iterator protocol, no
+driver involvement).
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -44,7 +51,57 @@ VIDEO_META_SCHEMA = T.StructType(
 
 
 # --------------------------------------------------------------------------
-# STUBBED DECODERS — no real codecs in this container.
+# REAL PCM WAV codec (stdlib wave + numpy — no external library)
+# --------------------------------------------------------------------------
+
+def encode_pcm_wav(
+    samples: np.ndarray, sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """float samples in [-1, 1] → 16-bit PCM RIFF/WAVE bytes."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if n_channels > 1 and x.ndim == 1:
+        x = np.repeat(x[:, None], n_channels, axis=1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((x * 32767.0).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_pcm_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE bytes → (float32 mono samples in [-1, 1], sample_rate,
+    n_channels). 16- and 32-bit PCM supported; multi-channel audio is
+    downmixed to mono by channel mean (the features are level/shape
+    statistics, not spatial)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483647.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width} bytes")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr, nch
+
+
+def _decode_audio(data: bytes, meta: dict, fake: bool) -> np.ndarray:
+    """Dispatch: real WAV decode for RIFF payloads / pcm_wav codec tags,
+    else the stub (compressed codecs need a library this sandbox lacks)."""
+    if data[:4] == b"RIFF" or meta.get("codec") == "pcm_wav":
+        pcm, _sr, _nch = decode_pcm_wav(data)
+        return pcm
+    return _decode_audio_stub(data, meta, fake)
+
+
+# --------------------------------------------------------------------------
+# STUBBED DECODERS — no compressed-audio/video codecs in this container.
 # --------------------------------------------------------------------------
 
 def _decode_audio_stub(data: bytes, meta: dict, fake: bool) -> np.ndarray:
@@ -53,9 +110,9 @@ def _decode_audio_stub(data: bytes, meta: dict, fake: bool) -> np.ndarray:
     exercise the full Spark path; otherwise NotImplementedError."""
     if not fake:
         raise NotImplementedError(
-            "audio decode requires a codec library (e.g. soundfile); "
-            "this sandbox stubs it — pass fake_decode=True for the "
-            "deterministic test signal"
+            "compressed-audio decode requires a codec library (e.g. "
+            "soundfile); this sandbox stubs it — PCM WAV payloads decode "
+            "for real, or pass fake_decode=True for the test signal"
         )
     n = max(1, int(meta["sample_rate"] * meta["duration_sec"]))
     seed = int.from_bytes(data[:8].ljust(8, b"\0"), "big") & 0x7FFFFFFF
@@ -104,7 +161,7 @@ def audio_features(
                 if data is None:
                     continue
                 meta = metas.iloc[i]
-                pcm = _decode_audio_stub(bytes(data), dict(meta), fake_decode)
+                pcm = _decode_audio(bytes(data), dict(meta), fake_decode)
                 ids.append(b[id_col].iloc[i])
                 rms.append(round(float(np.sqrt(np.mean(pcm**2))), 6))
                 peak.append(round(float(np.abs(pcm).max()), 6))

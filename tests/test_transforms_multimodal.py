@@ -110,3 +110,54 @@ def test_frame_sampling_fanout(spark, video_df):
     for r in frames:
         assert len(r["frame_bytes"]) == 16 * 8 * 3  # raw RGB, declared dims
         assert r["ts_sec"] == r["frame_idx"] / 10.0
+
+
+def test_real_wav_decode_roundtrip():
+    """PCM WAV is a REAL decode path (stdlib), not a stub: encode a sine,
+    decode it back, check fidelity."""
+    import numpy as np
+
+    from dcc_validate_metadata_spark.multimodal.av import (
+        decode_pcm_wav,
+        encode_pcm_wav,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 second
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    data = encode_pcm_wav(sig, sr)
+    assert data[:4] == b"RIFF"
+    back, got_sr, nch = decode_pcm_wav(data)
+    assert got_sr == sr and nch == 1 and len(back) == sr
+    assert np.abs(back - sig).max() < 1e-3  # 16-bit quantization only
+    # stereo downmix
+    stereo = encode_pcm_wav(sig, sr, n_channels=2)
+    back2, _, nch2 = decode_pcm_wav(stereo)
+    assert nch2 == 2 and np.abs(back2 - sig).max() < 1e-3
+
+
+def test_audio_features_real_wav_no_fake(spark):
+    """audio_features runs WITHOUT fake_decode on real WAV payloads and
+    produces the analytically-expected statistics."""
+    import math
+
+    import numpy as np
+
+    from dcc_validate_metadata_spark.multimodal.av import (
+        audio_features,
+        encode_pcm_wav,
+    )
+
+    sr, dur, freq, amp = 8000, 1.0, 440.0, 0.5
+    t = np.arange(int(sr * dur)) / sr
+    wav = encode_pcm_wav(amp * np.sin(2 * np.pi * freq * t), sr)
+    df = spark.createDataFrame(
+        [("clip1", bytearray(wav), (sr, 1, dur, "pcm_wav"))],
+        "clip_id string, bytes binary, "
+        "meta struct<sample_rate int, n_channels int, duration_sec double, codec string>",
+    )
+    row = audio_features(df).collect()[0]  # fake_decode NOT set
+    assert abs(row["rms"] - amp / math.sqrt(2)) < 1e-3
+    assert abs(row["peak"] - amp) < 1e-3
+    # a 440 Hz sine crosses zero ~2*440 times per second
+    assert abs(row["zero_crossings"] - 2 * freq) <= 2
