@@ -80,6 +80,7 @@ def ensure_fixture() -> Path:
         _write_faang_fixture(tmp)
         _write_graphql_fixture(tmp)
         _write_taxon_fixture(tmp)
+        _write_audio_fixture(tmp)
         (tmp / _MARKER).touch()
         shutil.rmtree(FIX_DIR, ignore_errors=True)  # stale pre-marker partial
         try:
@@ -402,6 +403,50 @@ def _write_taxon_fixture(out_dir: Path) -> None:
     )
     taxa.to_parquet(out_dir / "taxon_snapshot.parquet", index=False)
     samples.to_parquet(out_dir / "samples_taxon.parquet", index=False)
+
+
+def _write_audio_fixture(out_dir: Path) -> None:
+    """Multimodal audio fixture: 48 deterministic PCM WAV clips (sine +
+    seeded noise floor) plus golden features computed directly on the
+    quantized int16 signal — independent of the engine's decode path."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.av import encode_pcm_wav
+
+    clips, gold = [], []
+    for i in range(48):
+        sr = [8000, 16000][i % 2]
+        dur = 0.25 + (i % 4) * 0.25
+        freq = 110.0 * (1 + i % 8)
+        amp = 0.2 + (i % 5) * 0.15
+        t = np.arange(int(sr * dur)) / sr
+        rng = np.random.default_rng(1000 + i)
+        sig = amp * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(len(t))
+        data = encode_pcm_wav(sig, sr)
+        clips.append(
+            {
+                "clip_id": f"clip_{i:03d}",
+                "bytes": data,
+                "sample_rate": sr,
+                "n_channels": 1,
+                "duration_sec": dur,
+                "codec": "pcm_wav",
+            }
+        )
+        # golden from the quantized signal (what 16-bit PCM actually stores)
+        q = np.clip(sig, -1, 1)
+        x = (q * 32767.0).astype("<i2").astype(np.float32) / 32767.0
+        gold.append(
+            {
+                "clip_id": f"clip_{i:03d}",
+                "rms": round(float(np.sqrt(np.mean(x**2))), 6),
+                "peak": round(float(np.abs(x).max()), 6),
+                "zero_crossings": int(np.count_nonzero(np.diff(np.signbit(x)))),
+            }
+        )
+    pd.DataFrame(clips).to_parquet(out_dir / "audio_clips.parquet", index=False)
+    pd.DataFrame(gold).to_parquet(out_dir / "expected_audio_features.parquet", index=False)
 
 
 def _write_graphql_fixture(out_dir: Path) -> None:
@@ -1022,6 +1067,34 @@ ORDER BY s.name
 """
 
 
+_AUDIO = str(FIX_DIR / "audio_clips.parquet")
+_EXP_AUDIO = str(FIX_DIR / "expected_audio_features.parquet")
+
+
+def av_audio_features(spark, sf_dir):
+    """Multimodal audio: REAL PCM WAV decode (stdlib codec) through the
+    Arrow mapInPandas stage; oracle = golden features computed directly
+    on the quantized int16 signal at fixture-generation time."""
+    from ..multimodal.av import audio_features
+
+    ensure_fixture()
+    df = spark.read.parquet(_AUDIO).select(
+        "clip_id",
+        "bytes",
+        F.struct(
+            "sample_rate", "n_channels", "duration_sec", "codec"
+        ).alias("meta"),
+    )
+    return audio_features(df).orderBy("clip_id")
+
+
+AV_AUDIO_SQL = f"""
+SELECT clip_id, rms, peak, zero_crossings
+FROM read_parquet('{_EXP_AUDIO}')
+ORDER BY clip_id
+"""
+
+
 _RELEASE = "2026-08-17T00:00:00Z"  # fixed release stamp (deterministic docs)
 
 
@@ -1155,6 +1228,7 @@ QUERIES = {
     "g2_catalog_joins": (g2_catalog_joins, G2_CATALOG_SQL),
     "j12_taxon_enrichment": (j12_taxon_enrichment, J12_TAXON_SQL),
     "s8_biosamples_json": (s8_biosamples_json, S8_BIOSAMPLES_SQL),
+    "av_audio_features": (av_audio_features, AV_AUDIO_SQL),
     "s9_ena_sample_xml": (s9_ena_sample_xml, S9_ENA_XML_SQL),
     "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
     "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
