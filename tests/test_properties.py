@@ -88,3 +88,67 @@ def test_minhash_double_hash_fits_int64(s):
     h1, h2 = int(md5[:12], 16), int(md5[12:24], 16)
     top = h1 + 31 * h2
     assert top < 2**63
+
+
+# ---------------------------------------------------------------- xlsx codec
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs", "Cc"),  # no surrogates/control
+                    ),
+                    max_size=40,
+                ),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_xlsx_roundtrip_property(tmp_path_factory, grid):
+    """write_workbook → read_workbook preserves every cell, including
+    unicode, quotes, angle brackets, ampersands and None cells."""
+    from dcc_validate_metadata_spark.sources.xlsx import (
+        read_workbook,
+        write_workbook,
+    )
+
+    path = tmp_path_factory.mktemp("xlsxprop") / "wb.xlsx"
+    write_workbook(path, {"s1": grid})
+    got = read_workbook(path)["s1"]
+    assert len(got) == len(grid)
+    for want_row, got_row in zip(grid, got):
+        # rows may be stored ragged: absent trailing cells read as missing
+        padded = list(got_row) + [None] * (len(want_row) - len(got_row))
+        for want, have in zip(want_row, padded):
+            assert have == want
+
+
+# ----------------------------------------------------------------- wav codec
+
+@given(
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(n, seed, sr):
+    import numpy as np
+
+    from dcc_validate_metadata_spark.multimodal.av import (
+        decode_pcm_wav,
+        encode_pcm_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-1.0, 1.0, size=n)
+    back, got_sr, nch = decode_pcm_wav(encode_pcm_wav(sig, sr))
+    assert got_sr == sr and nch == 1 and len(back) == n
+    assert np.abs(back - sig).max() <= 1.0 / 32767 + 1e-6  # quantization bound
