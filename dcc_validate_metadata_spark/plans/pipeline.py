@@ -292,6 +292,7 @@ def run_validation(
             histogram_by_partition,
             ks_drift_from_quantiles,
         )
+        from ..operators.tdigest import ks_drift_from_tdigest
 
         cap_len = full_df.select(
             "fmt", F.length("caption").cast("double").alias("cap_len")
@@ -302,6 +303,11 @@ def run_validation(
             "value": "length(caption)",
             "chi_square": chi_square_drift(hist, ["fmt"], drift_reference, n_bins=16),
             "ks": ks_drift_from_quantiles(cap_len, "cap_len", ["fmt"], drift_reference),
+            # the north-star sketch: distributed t-digest per fmt, KS on
+            # the merged digests (shuffle carries sketches, never rows)
+            "ks_tdigest": ks_drift_from_tdigest(
+                cap_len, "cap_len", ["fmt"], drift_reference
+            ),
         }
         (out / "drift.json").write_text(_json.dumps(report, indent=2))
 
