@@ -106,9 +106,11 @@ def dd_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_sql() -> str:
-    # double hashing: h_i = h1 + i*h2, h1/h2 = 48-bit md5 halves (exact
-    # int64 arithmetic — mirrors operators/dedup.py minhash_signatures)
+def _minhash_core_ctes() -> str:
+    """The shared CTE chain (shingles → signatures → bands → verified
+    pairs) reused by the pairs and clusters oracles. Double hashing:
+    h_i = h1 + i*h2, h1/h2 = 48-bit md5 halves (exact int64 arithmetic —
+    mirrors operators/dedup.py minhash_signatures)."""
     hash_cols = ",\n         ".join(f"(h1 + {i} * h2) AS h{i}" for i in range(NUM_HASHES))
     min_cols = ", ".join(f"min(h{i}) AS mh_{i}" for i in range(NUM_HASHES))
     n_bands = NUM_HASHES // BAND_ROWS
@@ -121,8 +123,7 @@ def _minhash_sql() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 base_h AS (
   SELECT id,
          ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
@@ -147,12 +148,54 @@ common AS (
   JOIN sh sa ON sa.id = c.id_a
   JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
   GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard
-FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
-WHERE floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {JACCARD_T}
+),
+verified AS (
+  SELECT id_a, id_b,
+         floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard
+  FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+  WHERE floor(n_common::DOUBLE / (na.n + nb.n - n_common) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {JACCARD_T}
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_core_ctes()}
+SELECT id_a, id_b, jaccard FROM verified
 ORDER BY id_a, id_b
+"""
+
+
+def dd_duplicate_clusters(spark, sf_dir):
+    """Near-dup pairs resolved to transitive clusters: iterative
+    min-label propagation (operators/components.py) over the verified
+    MinHash-LSH pairs; one representative kept per cluster."""
+    from ..operators.components import dedup_keep_list
+
+    pairs = D.minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_T, n=NGRAM_N
+    )
+    return dedup_keep_list(pairs).orderBy("doc_id")
+
+
+def _clusters_sql() -> str:
+    # recursive reachability over the same verified pairs: component id =
+    # minimum reachable doc id (mirrors the label-propagation fixpoint)
+    return f"""
+WITH RECURSIVE {_minhash_core_ctes()},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+),
+reach(src, node) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT src AS doc_id, min(node) AS cluster_id,
+       (src = min(node)) AS keep
+FROM reach GROUP BY src
+ORDER BY doc_id
 """
 
 
@@ -387,6 +430,7 @@ QUERIES = {
     "dd_exact_groups": (dd_exact_groups, DD_EXACT_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
+    "dd_duplicate_clusters": (dd_duplicate_clusters, _clusters_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "dd_embedding_pairs": (dd_embedding_pairs, DD_EMBED_SQL),

@@ -158,3 +158,37 @@ def test_run_validation_with_stats_and_drift(spark, fixture_dir, tmp_path):
     parts = {e["partition"]["fmt"] for e in report["chi_square"]}
     assert parts and "jpeg" not in parts  # reference excluded from results
     assert all("drifted" in e for e in report["ks"])
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Label propagation: a 6-node chain (worst diameter), a triangle,
+    and an isolated pair all resolve to min-id components."""
+    from dcc_validate_metadata_spark.operators.components import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a int, id_b int",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert all(comp[n] == 1 for n in range(1, 7))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == comp[21] == 20
+
+    keep = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dedup_keep_list(pairs).collect()}
+    assert keep[1] == (1, True) and keep[6] == (1, False)
+    assert sum(1 for _, k in keep.values() if k) == 3  # one keeper per cluster
+
+    # pathological cap: a chain longer than max_iter raises, not hangs
+    import pytest as _pytest
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_chain, max_iter=2)
