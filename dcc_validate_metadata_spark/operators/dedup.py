@@ -212,18 +212,20 @@ SIMHASH_BITS = 60  # fits a signed long with headroom; matches hash64 width
 
 def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): 60-bit SimHash over whitespace tokens weighted by
-    term frequency. One explode + one aggregation (60 bit-vote sums fused
-    in a single groupBy); ties (vote == 0) resolve to bit 0."""
-    tok_tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("t"))
-        .groupBy("id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("id", "tf", hash64(F.col("t")).alias("h"))
-    )
-    votes = tok_tf.groupBy("id").agg(
+    term frequency. The tf weighting is folded into per-OCCURRENCE bit
+    votes (sum is linear: Σ_distinct tf·vote == Σ_occurrences vote), so
+    there is no (id, token) pre-aggregation — the only shuffle is the
+    final groupBy(id), and map-side partial aggregation collapses the
+    exploded token stream to one 60-vote row per doc per task before it
+    moves. Ties (vote == 0) resolve to bit 0."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("t"),
+    ).select("id", hash64(F.col("t")).alias("h"))
+    votes = tok.groupBy("id").agg(
         *[
             F.sum(
-                F.col("tf") * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"v{b}")
             for b in range(SIMHASH_BITS)
         ]
