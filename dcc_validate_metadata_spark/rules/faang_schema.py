@@ -317,6 +317,19 @@ def load_faang_ruleset(
     )
 
 
+def chipseq_ruleset() -> tuple[Ruleset, SheetSpec]:
+    """The vendored experiments-realm ruleset (ChIP-seq type + core) —
+    the analogue of ``ALLOWED_EXPERIMENTS_TYPES['chip-seq']`` →
+    ``CHIP_SEQ_URL`` + ``EXPERIMENT_CORE_URL`` (constants.py:3-64); shows
+    the compiler is realm-agnostic (``experiments_core`` ``$ref`` split
+    handled the same as ``samples_core``)."""
+    return ruleset_from_faang_schema(
+        load_vendored_schema("faang_experiments_chip-seq.metadata_rules.json"),
+        load_vendored_schema("faang_experiments_core.metadata_rules.json"),
+        table="chip-seq",
+    )
+
+
 def organism_ruleset() -> tuple[Ruleset, SheetSpec]:
     """The vendored organism ruleset (type + core), the fixture analogue
     of ``ALLOWED_SHEET_NAMES['organism']`` → ``ORGANISM_URL`` +

@@ -201,3 +201,64 @@ def test_ontology_ref_rules_execute_with_snapshots(spark):
         "for term 'PATO:0000383'"
     )
     assert ("OK", "error") not in got and ("OK", "warning") not in got
+
+
+def test_experiments_realm_compiles(spark):
+    """The compiler is realm-agnostic: ChIP-seq type + experiments core
+    produce the same rule families (experiments_core $ref split out,
+    assay_type text enum, date-unit ladders, numeric fragment sizes,
+    EFO/SO ontology_ref rules)."""
+    from dcc_validate_metadata_spark.rules.faang_schema import chipseq_ruleset
+
+    rs, spec = chipseq_ruleset()
+    kinds = {(r.field, r.kind) for r in rs.rules}
+    assert ("project", "enum") in kinds                      # core value enum
+    assert ("assay_type", "enum") in kinds                   # core text enum
+    assert ("assay_type__term", "ontology_ref") in kinds     # EFO graph rule
+    assert ("library_preparation_date", "date_unit") in kinds
+    assert ("library_generation_max_fragment_size_range", "numeric") in kinds
+    assert ("experiment_target__term", "ontology_ref") in kinds
+    assert "experiments_core" not in {r.field for r in rs.rules}
+    assert "project" in spec.core_fields
+    assert "experiment_target" in spec.type_fields
+    assert "chip_antibody_provider" in spec.mandatory
+
+    # a ChIP-seq sheet validates end-to-end through the standard path
+    import dataclasses
+
+    from dcc_validate_metadata_spark.sources.sheet_ingest import validate_sheet
+
+    sheet = spark.createDataFrame(
+        [
+            ("E1", "FAANG", "ChIP-seq", "H3K4me3", "Abcam", "ab8580",
+             "L1", "600", "200", "2023-04-01", "YYYY-MM-DD"),
+            ("E2", "WRONG", "Juggling", "H3K27ac", None, "ab4729",
+             "L2", "wide", "100", "2023-13", "YYYY-MM"),
+        ],
+        "experiment_name string, project string, assay_type string, "
+        "experiment_target string, chip_antibody_provider string, "
+        "chip_antibody_catalog string, chip_antibody_lot string, "
+        "library_generation_max_fragment_size_range string, "
+        "library_generation_min_fragment_size_range string, "
+        "library_preparation_date string, library_preparation_date__units string",
+    )
+    spec = dataclasses.replace(
+        spec, type_fields=spec.type_fields + ("experiment_name",)
+    )
+    viol = {
+        (r["name"], r["field"], r["severity"])
+        for r in validate_sheet(
+            sheet, spec, rs, name_field="experiment_name"
+        ).collect()
+        if r["name"] in ("E1", "E2")
+    }
+    assert ("E2", "project", "error") in viol                # enum
+    assert ("E2", "assay_type", "error") in viol             # text enum
+    assert ("E2", "chip_antibody_provider", "error") in viol  # mandatory
+    assert (
+        "E2",
+        "library_generation_max_fragment_size_range",
+        "error",
+    ) in viol                                                 # numeric
+    assert ("E2", "library_preparation_date", "error") in viol  # date_unit
+    assert not any(n == "E1" and s == "error" for n, f, s in viol)
