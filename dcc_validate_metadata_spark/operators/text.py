@@ -12,7 +12,7 @@ analogue is its cosmetic string pipeline (SURVEY.md §2.7 F1/F5), which
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import round4
@@ -145,3 +145,65 @@ def lang_id_df(
 
 def fingerprint_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def bigram_perplexity_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """(id, n_bigrams, perplexity): per-document perplexity under a
+    word-bigram language model trained on the WHOLE corpus with add-k
+    smoothing — the classic KenLM-style quality filter (high perplexity =
+    out-of-distribution / low-quality text), expressed entirely in
+    relational algebra:
+
+    * one pass builds the corpus bigram table (lowercased whitespace
+      tokens, a <s> start sentinel per doc);
+    * two groupBys produce global C(prev, w) and C(prev) count tables —
+      both map-side combinable, keyed on tokens (never on doc ids, so
+      hot documents don't skew);
+    * each doc's bigrams join the count tables (token-keyed shuffle
+      joins; count tables are vocabulary-sized, not corpus-sized) and
+      fold into avg log2 P(w|prev) per doc;
+    * perplexity = 2^(-avg log2 p), rounded to 2 dp (summation-order
+      float noise stays far below the rounding grid).
+
+    The smoothing denominator uses V = distinct vocabulary size
+    (computed exactly — one small distinct count).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = toks.select(
+        "id",
+        F.coalesce(F.lag("w").over(w), F.lit("<s>")).alias("prev"),
+        "w",
+    )
+    big_counts = bigrams.groupBy("prev", "w").agg(
+        F.count(F.lit(1)).alias("c_bi")
+    )
+    prev_counts = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
+    vocab = bigrams.select("w").distinct().count()
+
+    p = (F.col("c_bi") + F.lit(k)) / (F.col("c_prev") + F.lit(k * vocab))
+    scored = (
+        bigrams.join(big_counts, on=["prev", "w"])
+        .join(prev_counts, on="prev")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log2(p)).alias("_avg_lp"),
+        )
+    )
+    ppl = F.pow(F.lit(2.0), -F.col("_avg_lp"))
+    return scored.select(
+        "id",
+        "n_bigrams",
+        (F.floor(ppl * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+            "perplexity"
+        ),
+    )

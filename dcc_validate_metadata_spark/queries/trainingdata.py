@@ -414,6 +414,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def txt_perplexity(spark, sf_dir):
+    """Corpus-trained word-bigram LM perplexity per document (add-k
+    smoothing) — the KenLM-style quality filter, in relational algebra."""
+    return (
+        X.bigram_perplexity_df(_docs(spark, sf_dir))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+TXT_PPL_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, bgs['prev'] AS prev, bgs['w'] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1),
+             i -> {'prev': CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END,
+                   'w': tk[i]})) AS bgs
+    FROM docs
+  )
+),
+bc AS (SELECT prev, w, count(*) AS c_bi FROM bg GROUP BY 1, 2),
+pc AS (SELECT prev, count(*) AS c_prev FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS vocab FROM bg),
+scored AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+         avg(log2((bc.c_bi + 0.5) / (pc.c_prev + 0.5 * v.vocab))) AS alp
+  FROM bg
+  JOIN bc ON bc.prev = bg.prev AND bc.w = bg.w
+  JOIN pc ON pc.prev = bg.prev
+  CROSS JOIN v
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       floor(pow(2.0, -alp) * 100.0 + 0.5) / 100.0 AS perplexity
+FROM scored ORDER BY doc_id
+"""
+
+
 def txt_fingerprints(spark, sf_dir):
     return X.fingerprint_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -442,4 +485,5 @@ QUERIES = {
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),
     "txt_lang_id": (txt_lang_id, TXT_LANGID_SQL),
     "txt_fingerprints": (txt_fingerprints, TXT_FP_SQL),
+    "txt_perplexity": (txt_perplexity, TXT_PPL_SQL),
 }

@@ -201,3 +201,22 @@ def test_offset_pagination_with_map_column(spark):
     a = {r["rec_id"] for r in es_like_search(df, from_=0, size=10).collect()}
     b = {r["rec_id"] for r in es_like_search(df, from_=10, size=10).collect()}
     assert not (a & b) and len(a | b) == 20
+
+
+# --------------------------------------------------------- perplexity LM
+
+def test_bigram_perplexity_separates_gibberish(spark):
+    from dcc_validate_metadata_spark.operators.text import bigram_perplexity_df
+
+    normal = "the cat sat on the mat and the dog sat on the rug"
+    docs = [(f"n{i:02d}", normal) for i in range(20)] + [
+        ("g00", "zxqv wkjh qpzm vbnx tyru asdl kjqw peiu")
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    ppl = {r["id"]: r["perplexity"] for r in bigram_perplexity_df(df).collect()}
+    # in-distribution docs score far lower than the OOV gibberish doc
+    assert ppl["n00"] < ppl["g00"] / 3
+    assert all(ppl[f"n{i:02d}"] == ppl["n00"] for i in range(20))  # identical docs
+    # n_bigrams = token count (start sentinel pairs with the first token)
+    rows = {r["id"]: r["n_bigrams"] for r in bigram_perplexity_df(df).collect()}
+    assert rows["n00"] == len(normal.split())
