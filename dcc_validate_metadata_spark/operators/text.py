@@ -207,3 +207,103 @@ def bigram_perplexity_df(
             "perplexity"
         ),
     )
+
+
+def repetition_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """(id, dup_line_ratio, dup_line_char_ratio, top_ngram_char_ratio) —
+    the Gopher-style within-document repetition signals used to drop
+    boilerplate/spam from training corpora:
+
+    * ``dup_line_ratio``       — duplicated lines / lines;
+    * ``dup_line_char_ratio``  — characters inside duplicated lines /
+      all line characters;
+    * ``top_ngram_char_ratio`` — characters covered by the single most
+      frequent word n-gram / all characters (ties: largest char mass).
+
+    Scale shape: explode → two-level hash aggregation, LINEAR in
+    document size (a per-doc array-lambda formulation would be quadratic
+    in distinct lines/grams — unusable on 100 KB web documents). The
+    shuffles key on (doc, line) / (doc, gram) and are map-side
+    combinable; every doc's final stats are two tiny rows."""
+    t = F.col(text_col)
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t"))
+
+    lines = base.select(
+        "id", F.explode(F.split(F.col("_t"), "\\n")).alias("line")
+    ).select("id", F.trim("line").alias("line")).filter(F.col("line") != "")
+    line_stats = (
+        lines.groupBy("id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_lines"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+            ).alias("dup_chars"),
+            F.sum(F.col("c") * F.length("line")).alias("all_chars"),
+        )
+    )
+
+    tok = tokens(F.lower(F.col("_t")))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+    grams_arr = F.when(
+        F.size(tok) >= ngram_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - F.lit(ngram_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, ngram_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("id", F.explode(grams_arr).alias("g"))
+    # lexicographic max of (count, count*len): among the most frequent
+    # grams, the one covering the most characters
+    gram_stats = (
+        grams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c").alias("c"),
+                    (F.col("c") * F.length("g")).alias("chars"),
+                )
+            ).alias("top")
+        )
+        .select("id", F.col("top.chars").alias("top_gram_chars"))
+    )
+
+    return (
+        base.select("id", F.length("_t").alias("text_chars"))
+        .join(line_stats, on="id", how="left")
+        .join(gram_stats, on="id", how="left")
+        .select(
+            F.col("id"),
+            round4(
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.col("dup_lines").cast("double")
+                    / F.col("n_lines").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_line_ratio"),
+            round4(
+                F.when(
+                    F.col("all_chars") > 0,
+                    F.col("dup_chars").cast("double")
+                    / F.col("all_chars").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_line_char_ratio"),
+            round4(
+                F.when(
+                    (F.col("text_chars") > 0)
+                    & F.col("top_gram_chars").isNotNull(),
+                    F.col("top_gram_chars").cast("double")
+                    / F.col("text_chars").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("top_ngram_char_ratio"),
+        )
+    )

@@ -457,6 +457,64 @@ FROM scored ORDER BY doc_id
 """
 
 
+def txt_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals (dup-line ratios
+    + top-bigram char coverage) — one projection, arrays only."""
+    return (
+        X.repetition_df(_docs(spark, sf_dir))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+TXT_REP_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM d)
+  WHERE trim(l) <> ''
+),
+line_stats AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars,
+         sum(c * length(line)) AS all_chars
+  FROM (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM d
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM tk WHERE len(tk) >= 2)
+),
+gram_stats AS (
+  SELECT doc_id,
+         max({'c': c, 'chars': c * length(g)}).chars AS top_gram_chars
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       floor(CASE WHEN coalesce(l.n_lines, 0) > 0
+             THEN l.dup_lines::DOUBLE / l.n_lines::DOUBLE ELSE 0.0 END
+             * 10000.0 + 0.5) / 10000.0 AS dup_line_ratio,
+       floor(CASE WHEN coalesce(l.all_chars, 0) > 0
+             THEN l.dup_chars::DOUBLE / l.all_chars::DOUBLE ELSE 0.0 END
+             * 10000.0 + 0.5) / 10000.0 AS dup_line_char_ratio,
+       floor(CASE WHEN length(d.text) > 0 AND g.top_gram_chars IS NOT NULL
+             THEN g.top_gram_chars::DOUBLE / length(d.text)::DOUBLE
+             ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS top_ngram_char_ratio
+FROM d
+LEFT JOIN line_stats l ON l.doc_id = d.doc_id
+LEFT JOIN gram_stats g ON g.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def txt_fingerprints(spark, sf_dir):
     return X.fingerprint_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -486,4 +544,5 @@ QUERIES = {
     "txt_lang_id": (txt_lang_id, TXT_LANGID_SQL),
     "txt_fingerprints": (txt_fingerprints, TXT_FP_SQL),
     "txt_perplexity": (txt_perplexity, TXT_PPL_SQL),
+    "txt_repetition": (txt_repetition, TXT_REP_SQL),
 }

@@ -220,3 +220,22 @@ def test_bigram_perplexity_separates_gibberish(spark):
     # n_bigrams = token count (start sentinel pairs with the first token)
     rows = {r["id"]: r["n_bigrams"] for r in bigram_perplexity_df(df).collect()}
     assert rows["n00"] == len(normal.split())
+
+
+def test_repetition_signals(spark):
+    from dcc_validate_metadata_spark.operators.text import repetition_df
+
+    docs = [
+        ("clean", "alpha beta gamma\ndelta epsilon zeta\neta theta iota"),
+        ("dupl", "same line here\nsame line here\nsame line here\nunique one"),
+        ("loop", "buy now " * 30),
+        ("tiny", "word"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["id"]: r for r in repetition_df(df).collect()}
+    assert got["clean"]["dup_line_ratio"] == 0.0
+    assert got["dupl"]["dup_line_ratio"] == 0.75          # 3 of 4 lines
+    assert got["dupl"]["dup_line_char_ratio"] > 0.7
+    assert got["loop"]["top_ngram_char_ratio"] > 0.5      # 'now buy'/'buy now' loops
+    assert got["clean"]["top_ngram_char_ratio"] < 0.3
+    assert got["tiny"]["top_ngram_char_ratio"] == 0.0     # < n tokens: no grams
