@@ -93,10 +93,16 @@ def decode_pcm_wav(data: bytes) -> tuple[np.ndarray, int, int]:
 
 def _decode_audio(data: bytes, meta: dict, fake: bool) -> np.ndarray:
     """Dispatch: real WAV decode for RIFF payloads / pcm_wav codec tags,
-    else the stub (compressed codecs need a library this sandbox lacks)."""
+    else the stub (compressed codecs need a library this sandbox lacks).
+    RIFF containers that are NOT integer-PCM WAV (float WAVs, mp3-in-WAV,
+    WebP/AVI share the RIFF magic) and truncated payloads fall through to
+    the stub instead of killing the Spark stage with a raw wave.Error."""
     if data[:4] == b"RIFF" or meta.get("codec") == "pcm_wav":
-        pcm, _sr, _nch = decode_pcm_wav(data)
-        return pcm
+        try:
+            pcm, _sr, _nch = decode_pcm_wav(data)
+            return pcm
+        except (wave.Error, EOFError, ValueError):
+            pass
     return _decode_audio_stub(data, meta, fake)
 
 

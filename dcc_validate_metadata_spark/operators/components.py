@@ -43,6 +43,8 @@ def connected_components(
         )
         .distinct()
     )
+    from .uniqueness import _PERSISTED_DUPS
+
     edges = edges.persist()
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -79,11 +81,19 @@ def connected_components(
             prev = updated
             labels = updated.drop("_changed")
             if n_changed == 0:
+                # the converged label table stays cached for the caller;
+                # register it with the shared release registry so the
+                # long-lived-session release points (run_validation,
+                # streaming batches, release_dup_tables callers) free it
+                _PERSISTED_DUPS.append(updated)
+                prev = None  # ownership transferred to the registry
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
     finally:
+        if prev is not None:  # non-convergence path: release the last round
+            prev.unpersist()
         edges.unpersist()
 
 

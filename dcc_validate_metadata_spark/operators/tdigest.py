@@ -89,11 +89,6 @@ def digest_cdf(means: np.ndarray, weights: np.ndarray, xs: np.ndarray) -> np.nda
     return np.interp(xs, means, cum / total, left=0.0, right=1.0)
 
 
-DIGEST_SCHEMA_SUFFIX = (
-    "means array<double>, weights array<double>, n_rows long"
-)
-
-
 def tdigest_sketch(
     df: DataFrame,
     value_col: str,
@@ -115,20 +110,25 @@ def tdigest_sketch(
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # fold the WHOLE partition before emitting: one digest per group
-        acc: dict[tuple, list[np.ndarray]] = {}
+        # fold each Arrow batch into the running per-group digest —
+        # memory stays O(groups × δ) however large the partition is
+        # (buffering raw values per partition would break the sketch's
+        # row-count-independence claim on big partitions)
+        acc: dict[tuple, tuple[np.ndarray, np.ndarray, int]] = {}
         for b in batches:
             for key, sub in b.groupby(group_cols, dropna=False, sort=False):
                 key = key if isinstance(key, tuple) else (key,)
                 vals = sub["_v"].to_numpy(dtype=np.float64)
-                acc.setdefault(key, []).append(vals)
-        rows = []
-        for key, chunks in acc.items():
-            vals = np.concatenate(chunks)
-            m, w = digest_of(vals, delta)
-            rows.append(
-                (*key, m.tolist(), w.tolist(), int(np.count_nonzero(~np.isnan(vals))))
-            )
+                n = int(np.count_nonzero(~np.isnan(vals)))
+                m, w = digest_of(vals, delta)
+                if key in acc:
+                    pm, pw, pn = acc[key]
+                    m, w = merge_digests([(pm, pw), (m, w)], delta)
+                    n += pn
+                acc[key] = (m, w, n)
+        rows = [
+            (*key, m.tolist(), w.tolist(), n) for key, (m, w, n) in acc.items()
+        ]
         yield pd.DataFrame(rows, columns=[*group_cols, "means", "weights", "n_rows"])
 
     partial = src.mapInPandas(partials, schema=partial_schema)
@@ -156,11 +156,12 @@ def ks_drift_from_tdigest(
     delta: float = 100.0,
     n_grid: int = 256,
     threshold: float = 0.1,
-) -> dict:
+) -> list[dict]:
     """Per-group KS statistic vs the reference group's digest, evaluated
-    on a shared value grid spanning both digests. Returns
-    ``{group_repr: {ks, drifted, n_rows}}`` (driver-side dict — sketch
-    math only)."""
+    on a shared value grid spanning both digests. Same report contract
+    as :func:`~..operators.drift.ks_drift_from_quantiles` — one
+    ``{partition, ks, drifted, n_rows}`` entry per NON-reference group —
+    so drift.json consumers iterate every ``ks*`` section uniformly."""
     sk = tdigest_sketch(df, value_col, group_cols, delta).collect()
     digests = {
         tuple(r[c] for c in group_cols): (
@@ -174,8 +175,10 @@ def ks_drift_from_tdigest(
     if ref_key not in digests:
         raise ValueError(f"reference partition not found: {reference}")
     rm, rw, _ = digests[ref_key]
-    out = {}
+    out = []
     for key, (m, w, n) in digests.items():
+        if key == ref_key:
+            continue
         if len(m) == 0 or len(rm) == 0:
             ks = float("nan")
         else:
@@ -185,9 +188,12 @@ def ks_drift_from_tdigest(
             ks = float(
                 np.max(np.abs(digest_cdf(m, w, xs) - digest_cdf(rm, rw, xs)))
             )
-        out["/".join(str(k) for k in key)] = {
-            "ks": round(ks, 6),
-            "drifted": bool(ks > threshold),
-            "n_rows": int(n),
-        }
+        out.append(
+            {
+                "partition": dict(zip(group_cols, key)),
+                "ks": round(ks, 6),
+                "drifted": bool(ks > threshold),
+                "n_rows": int(n),
+            }
+        )
     return out

@@ -162,16 +162,18 @@ def bigram_perplexity_df(
     * one pass builds the corpus bigram table (lowercased whitespace
       tokens, a <s> start sentinel per doc);
     * two groupBys produce global C(prev, w) and C(prev) count tables —
-      both map-side combinable, keyed on tokens (never on doc ids, so
-      hot documents don't skew);
+      both map-side combinable and token-keyed (the bigram-construction
+      window is per-doc, bounded by document length; the global count
+      shuffles never key on doc ids);
     * each doc's bigrams join the count tables (token-keyed shuffle
       joins; count tables are vocabulary-sized, not corpus-sized) and
       fold into avg log2 P(w|prev) per doc;
     * perplexity = 2^(-avg log2 p), rounded to 2 dp (summation-order
       float noise stays far below the rounding grid).
 
-    The smoothing denominator uses V = distinct vocabulary size
-    (computed exactly — one small distinct count).
+    The smoothing denominator uses V = distinct vocabulary size as a
+    one-row lazy aggregate broadcast-cross-joined in (same shape as the
+    SQL twin's CTE) — constructing this DataFrame runs NO Spark job.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -187,12 +189,15 @@ def bigram_perplexity_df(
         F.count(F.lit(1)).alias("c_bi")
     )
     prev_counts = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
-    vocab = bigrams.select("w").distinct().count()
+    vocab_df = bigrams.agg(F.countDistinct("w").alias("_vocab"))
 
-    p = (F.col("c_bi") + F.lit(k)) / (F.col("c_prev") + F.lit(k * vocab))
+    p = (F.col("c_bi") + F.lit(k)) / (
+        F.col("c_prev") + F.lit(k) * F.col("_vocab").cast("double")
+    )
     scored = (
         bigrams.join(big_counts, on=["prev", "w"])
         .join(prev_counts, on="prev")
+        .crossJoin(F.broadcast(vocab_df))
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -222,8 +227,10 @@ def repetition_df(
     * ``dup_line_ratio``       — duplicated lines / lines;
     * ``dup_line_char_ratio``  — characters inside duplicated lines /
       all line characters;
-    * ``top_ngram_char_ratio`` — characters covered by the single most
-      frequent word n-gram / all characters (ties: largest char mass).
+    * ``top_ngram_char_ratio`` — characters claimed by the single most
+      frequent word n-gram (count × gram length) / all characters, capped
+      at 1.0 (ties: largest char mass; overlapping occurrences — e.g.
+      'a a a a a' — would otherwise double-count shared characters).
 
     Scale shape: explode → two-level hash aggregation, LINEAR in
     document size (a per-doc array-lambda formulation would be quadratic
@@ -301,8 +308,11 @@ def repetition_df(
                 F.when(
                     (F.col("text_chars") > 0)
                     & F.col("top_gram_chars").isNotNull(),
-                    F.col("top_gram_chars").cast("double")
-                    / F.col("text_chars").cast("double"),
+                    F.least(
+                        F.lit(1.0),
+                        F.col("top_gram_chars").cast("double")
+                        / F.col("text_chars").cast("double"),
+                    ),
                 ).otherwise(F.lit(0.0))
             ).alias("top_ngram_char_ratio"),
         )

@@ -506,7 +506,7 @@ SELECT d.doc_id,
              THEN l.dup_chars::DOUBLE / l.all_chars::DOUBLE ELSE 0.0 END
              * 10000.0 + 0.5) / 10000.0 AS dup_line_char_ratio,
        floor(CASE WHEN length(d.text) > 0 AND g.top_gram_chars IS NOT NULL
-             THEN g.top_gram_chars::DOUBLE / length(d.text)::DOUBLE
+             THEN least(1.0, g.top_gram_chars::DOUBLE / length(d.text)::DOUBLE)
              ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS top_ngram_char_ratio
 FROM d
 LEFT JOIN line_stats l ON l.doc_id = d.doc_id

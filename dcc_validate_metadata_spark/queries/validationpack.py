@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 FIXTURE_ROWS = 1010
 FIXTURE_BUCKETS = 4
 FIXTURE_SEED = 42
-FIXTURE_VERSION = 2  # bump when fixture contents change (forces a rebuild)
+FIXTURE_VERSION = 3  # bump when fixture contents change (forces a rebuild)
 FIX_DIR = Path(
     f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}"
     f"_v{FIXTURE_VERSION}"

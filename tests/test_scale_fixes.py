@@ -239,3 +239,13 @@ def test_repetition_signals(spark):
     assert got["loop"]["top_ngram_char_ratio"] > 0.5      # 'now buy'/'buy now' loops
     assert got["clean"]["top_ngram_char_ratio"] < 0.3
     assert got["tiny"]["top_ngram_char_ratio"] == 0.0     # < n tokens: no grams
+
+
+def test_top_ngram_ratio_capped_at_one(spark):
+    """Overlapping n-gram occurrences double-count shared characters —
+    the ratio is capped at 1.0 ('a a a a a': 4x'a a' would claim 12/9)."""
+    from dcc_validate_metadata_spark.operators.text import repetition_df
+
+    df = spark.createDataFrame([("d", "a a a a a")], "doc_id string, text string")
+    row = repetition_df(df).collect()[0]
+    assert row["top_ngram_char_ratio"] == 1.0

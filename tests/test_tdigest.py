@@ -69,11 +69,15 @@ def test_ks_drift_verdicts(spark):
     )
     df = spark.createDataFrame(rows, "grp string, v double").repartition(8)
     report = ks_drift_from_tdigest(df, "v", ["grp"], {"grp": "ref"})
-    assert not report["same"]["drifted"]
-    assert report["shifted"]["drifted"]
+    # same contract as drift.ks_drift_from_quantiles: one entry per
+    # NON-reference group, each carrying its partition dict
+    by_grp = {e["partition"]["grp"]: e for e in report}
+    assert set(by_grp) == {"same", "shifted"}
+    assert not by_grp["same"]["drifted"]
+    assert by_grp["shifted"]["drifted"]
     # KS of N(0,1) vs N(0.8,1) is ~0.31 analytically
-    assert abs(report["shifted"]["ks"] - 0.31) < 0.06
-    assert report["ref"]["ks"] < 0.01  # self-comparison
+    assert abs(by_grp["shifted"]["ks"] - 0.31) < 0.06
+    assert all(e["n_rows"] == 8000 for e in report)
     with pytest.raises(ValueError, match="reference partition not found"):
         ks_drift_from_tdigest(df, "v", ["grp"], {"grp": "nope"})
 

@@ -161,3 +161,24 @@ def test_audio_features_real_wav_no_fake(spark):
     assert abs(row["peak"] - amp) < 1e-3
     # a 440 Hz sine crosses zero ~2*440 times per second
     assert abs(row["zero_crossings"] - 2 * freq) <= 2
+
+
+def test_riff_but_not_wav_falls_through_to_stub(spark):
+    """RIFF containers that aren't integer-PCM WAV (WebP/float-WAV/
+    truncated) must not crash the stage: fake mode falls through to the
+    deterministic stub, strict mode raises the stub's clear error."""
+    import numpy as np
+    import pytest
+
+    from dcc_validate_metadata_spark.multimodal.av import _decode_audio
+
+    meta = {"sample_rate": 8000, "n_channels": 1, "duration_sec": 0.1,
+            "codec": "webp"}
+    not_wav = b"RIFF\x00\x00\x00\x00WEBPVP8 "
+    out = _decode_audio(not_wav, meta, fake=True)
+    assert isinstance(out, np.ndarray) and len(out) == 800  # stub signal
+    with pytest.raises(NotImplementedError):
+        _decode_audio(not_wav, meta, fake=False)
+    # truncated payload tagged pcm_wav: same fallthrough
+    out2 = _decode_audio(b"RI", {**meta, "codec": "pcm_wav"}, fake=True)
+    assert isinstance(out2, np.ndarray)
