@@ -42,10 +42,16 @@ def cmd_validate(args) -> int:
     )
     gt = spark.read.parquet(args.ground_truth) if args.ground_truth else None
     drift_ref = json.loads(args.drift_reference) if args.drift_reference else None
+    ruleset = None
+    if getattr(args, "ruleset", None):
+        from .rules.model import load_ruleset
+
+        ruleset = load_ruleset(args.ruleset)
     r = run_validation(
         spark,
         args.input,
         args.out,
+        ruleset=ruleset,
         ontology=ontology,
         gt=gt,
         resume=not args.no_resume,
@@ -204,6 +210,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--ontology", default=None)
     v.add_argument("--ground-truth", default=None)
+    v.add_argument(
+        "--ruleset", default=None,
+        help="declarative ruleset JSON (FIXTURES.md §2 shape); "
+        "default: the built-in image ruleset",
+    )
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--stats", action="store_true")
     v.add_argument(

@@ -373,7 +373,12 @@ def run_validation(
                 "n_errors": int(r["n_errors"]),
                 "n_warnings": int(r["n_warnings"]),
                 "n_rows": int(row_counts.get((r["fmt"], r["bucket"]), 0)),
-                "lineage": {"input": str(table_path), "engine": __version__},
+                "lineage": {
+                    "input": str(table_path),
+                    "engine": __version__,
+                    # same-rules proof for resumed/compared runs
+                    "ruleset": (ruleset or default_image_ruleset()).fingerprint(),
+                },
                 "finished": finished,
             }
             for r in verdicts_rows

@@ -59,6 +59,29 @@ class Ruleset:
     table: str
     rules: tuple[Rule, ...]
 
+    def fingerprint(self) -> str:
+        """Stable content hash of the compiled ruleset — recorded in the
+        manifest lineage so a resumed/compared run can prove it validated
+        under the same rules."""
+        import hashlib
+
+        canon = json.dumps(
+            {
+                "table": self.table,
+                "rules": [
+                    {
+                        "field": r.field,
+                        "kind": r.kind,
+                        "tier": r.tier,
+                        "params": r.params,
+                    }
+                    for r in self.rules
+                ],
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(canon.encode()).hexdigest()[:16]
+
     def of_kinds(self, kinds) -> tuple[Rule, ...]:
         return tuple(r for r in self.rules if r.kind in kinds)
 

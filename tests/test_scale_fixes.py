@@ -249,3 +249,31 @@ def test_top_ngram_ratio_capped_at_one(spark):
     df = spark.createDataFrame([("d", "a a a a a")], "doc_id string, text string")
     row = repetition_df(df).collect()[0]
     assert row["top_ngram_char_ratio"] == 1.0
+
+
+def test_ruleset_fingerprint_in_manifest(spark, tmp_path, fixture_dir):
+    """Manifest lineage proves WHICH rules a partition was validated
+    under: stable across runs, different for different rulesets."""
+    import json
+
+    from dcc_validate_metadata_spark.plans.pipeline import run_validation
+    from dcc_validate_metadata_spark.rules.model import (
+        default_image_ruleset,
+        ruleset_from_spec,
+    )
+
+    table = str(fixture_dir / "image_caption")
+    r = run_validation(spark, table, str(tmp_path / "out"), resume=False)
+    recs = [
+        json.loads(l)
+        for f in (tmp_path / "out" / "manifest").glob("*.jsonl")
+        for l in open(f)
+    ]
+    fps = {rec["lineage"]["ruleset"] for rec in recs}
+    assert fps == {default_image_ruleset().fingerprint()}
+    # fingerprint is content-derived: stable + sensitive
+    assert default_image_ruleset().fingerprint() == default_image_ruleset().fingerprint()
+    other = ruleset_from_spec(
+        [{"field": "fmt", "tier": "mandatory", "checks": []}], table="image_caption"
+    )
+    assert other.fingerprint() != default_image_ruleset().fingerprint()
