@@ -36,6 +36,15 @@ class Manifest:
                     done.add((rec["fmt"], int(rec["bucket"])))
         return done
 
+    def completed_rulesets(self) -> set[str]:
+        """Distinct ruleset fingerprints recorded on ``done`` partitions
+        (legacy records without one report as ``'unknown'``)."""
+        fps = set()
+        for rec in self.records():
+            if rec.get("status") == "done":
+                fps.add(rec.get("lineage", {}).get("ruleset", "unknown"))
+        return fps
+
     def records(self) -> list[dict]:
         out = []
         for f in sorted(self.dir.glob("run-*.jsonl")):

@@ -259,9 +259,20 @@ def run_validation(
     full_df = load_image_table(spark, table_path)
     df = full_df
 
+    ruleset_fp = (ruleset or default_image_ruleset()).fingerprint()
     skipped = 0
     if resume:
         done = manifest.completed()
+        prior_fps = manifest.completed_rulesets() - {"unknown"}
+        if done and prior_fps and prior_fps != {ruleset_fp}:
+            # resuming would silently MIX results produced under different
+            # rules — refuse; callers wanting a fresh pass use resume=False
+            # (or a new out_dir)
+            raise ValueError(
+                "resume refused: completed partitions were validated under "
+                f"ruleset(s) {sorted(prior_fps)} but this run uses "
+                f"{ruleset_fp}; pass resume=False or a fresh out_dir"
+            )
         if done:
             # partition pruning: a filter on partition-dir columns only
             cond = ~F.concat_ws("/", F.col("fmt"), F.col("bucket").cast("string")).isin(
@@ -377,7 +388,7 @@ def run_validation(
                     "input": str(table_path),
                     "engine": __version__,
                     # same-rules proof for resumed/compared runs
-                    "ruleset": (ruleset or default_image_ruleset()).fingerprint(),
+                    "ruleset": ruleset_fp,
                 },
                 "finished": finished,
             }

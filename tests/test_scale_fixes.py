@@ -277,3 +277,25 @@ def test_ruleset_fingerprint_in_manifest(spark, tmp_path, fixture_dir):
         [{"field": "fmt", "tier": "mandatory", "checks": []}], table="image_caption"
     )
     assert other.fingerprint() != default_image_ruleset().fingerprint()
+
+
+def test_resume_refuses_ruleset_change(spark, tmp_path, fixture_dir):
+    import pytest as _pytest
+
+    from dcc_validate_metadata_spark.plans.pipeline import run_validation
+    from dcc_validate_metadata_spark.rules.model import ruleset_from_spec
+
+    table = str(fixture_dir / "image_caption")
+    out = str(tmp_path / "out")
+    run_validation(spark, table, out, resume=False)
+    other = ruleset_from_spec(
+        [{"field": "fmt", "tier": "mandatory", "checks": []}],
+        table="image_caption",
+    )
+    with _pytest.raises(ValueError, match="resume refused"):
+        run_validation(spark, table, out, ruleset=other, resume=True)
+    # same rules resume fine; different rules allowed with resume=False
+    r = run_validation(spark, table, out, resume=True)
+    assert r.n_rows == 0 and r.skipped_partitions > 0
+    r2 = run_validation(spark, table, out, ruleset=other, resume=False)
+    assert r2.n_rows > 0
