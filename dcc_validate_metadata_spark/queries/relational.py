@@ -858,6 +858,37 @@ ORDER BY event_id OFFSET 10 LIMIT 100
 """
 
 
+def s2_terms_aggs(spark, sf_dir):
+    """A1/O4 fused facets: every requested aggregation field in ONE job
+    (unpivot → single (field, value) groupBy → per-field window rank)
+    instead of the ES-parity one-job-per-facet shape."""
+    from .search_api import terms_aggregations_fused
+
+    return terms_aggregations_fused(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority", "o_orderstatus"]
+    )
+
+
+S2_TERMS_SQL = """
+WITH counts AS (
+  SELECT 'o_orderpriority' AS field, o_orderpriority::VARCHAR AS value,
+         count(*) AS cnt
+  FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus::VARCHAR, count(*)
+  FROM orders GROUP BY 2
+),
+ranked AS (
+  SELECT field, value, cnt,
+         row_number() OVER (PARTITION BY field
+                            ORDER BY cnt DESC, value ASC)::INT AS rank
+  FROM counts
+)
+SELECT field, value, cnt, rank FROM ranked
+WHERE rank <= 25 ORDER BY field, rank
+"""
+
+
 def g1_joined_fetch(spark, sf_dir):
     """§3.3 GraphQL join-tree surface: filter tree compiled to a join
     tree with collect_list nesting; flattened here to (custkey, n_orders,
@@ -941,5 +972,6 @@ QUERIES = {
     "f8_nested_flatten": (f8_nested_flatten, F8_SQL),
     "f12_json_struct": (f12_json_struct, F12_SQL),
     "s1_search_api": (s1_search_api, S1_SEARCH_SQL),
+    "s2_terms_aggs": (s2_terms_aggs, S2_TERMS_SQL),
     "g1_joined_fetch": (g1_joined_fetch, G1_JOINED_SQL),
 }

@@ -169,3 +169,37 @@ def terms_aggregations(
             .limit(cap)
         )
     return out
+
+
+def terms_aggregations_fused(
+    df: DataFrame, agg_fields: list[str], cap: int = AGG_BUCKET_CAP
+) -> DataFrame:
+    """All requested facets in ONE job: unpivot the fields to
+    (field, value) pairs inside the scan, aggregate once, rank per field
+    with a window over the (small) aggregated counts. The ES-parity
+    :func:`terms_aggregations` launches one groupBy job per facet — N
+    scans + N shuffles; this is the Spark-first shape: one scan, one
+    shuffle keyed on (field, value), top-``cap`` buckets per field
+    (count desc, value asc), rows ``(field, value, cnt, rank)``."""
+    for field in agg_fields:
+        _check_field(df, field)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(field).alias("field"),
+                        F.col(field).cast("string").alias("value"),
+                    )
+                    for field in agg_fields
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.field", "fv.value")
+    counts = pairs.groupBy("field", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("field").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .orderBy("field", "rank")
+    )

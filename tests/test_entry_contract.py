@@ -12,7 +12,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-EXPECTED_QUERY_COUNT = 75
+EXPECTED_QUERY_COUNT = 76
 NO_ORACLE = {"ann_lsh_bucketed"}  # recall<1 by design: rows-only check
 
 
