@@ -213,3 +213,70 @@ def ann_lsh_bucketed(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "id", round4(F.col("_cos")).alias("cosine"))
     )
+
+
+def ann_lsh_multiprobe(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 8,
+    n_probes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query probes its own bucket PLUS
+    the buckets at Hamming distance 1 in plane-sign space (one flipped
+    bit each) — the standard recall lever that avoids building more
+    tables. ``n_probes`` caps the probe list (default: all n_bits+1).
+
+    Scale shape is unchanged from the single-probe path: the query side
+    is tiny and broadcast; fanning it out n_bits+1-fold multiplies only
+    the BROADCAST side, the data table is still joined once on its
+    single bucket id. Recall rises toward brute force as probes grow
+    (the perfect-recall check lives in the IVF full-probe oracle;
+    this op stays rows-only)."""
+    n_probes = n_bits + 1 if n_probes is None else min(n_probes, n_bits + 1)
+    planes = hyperplanes(dim, n_bits, seed)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    probes = F.slice(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+                for b in range(n_bits)
+            ],
+        ),
+        1,
+        n_probes,
+    )
+    q = (
+        base.filter(F.col("id").isin(query_ids))
+        .select(
+            F.col("id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probes).alias("q_bucket"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        base.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("id")),
+        )
+        .select("q_id", "id", cos.alias("_cos"))
+        .distinct()  # a (q, id) pair can match via several probes
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "id", round4(F.col("_cos")).alias("cosine"))
+    )

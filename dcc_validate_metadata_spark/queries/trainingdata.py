@@ -303,6 +303,15 @@ def ann_lsh_bucketed(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN: each query also probes the Hamming-1
+    neighbor buckets — the standard recall lever without extra tables.
+    Approximate like the single-probe path (rows-only check)."""
+    return S.ann_lsh_multiprobe(
+        _embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, n_bits=6, dim=64
+    ).orderBy("q_id", "rank")
+
+
 _IVF_LISTS = 8
 
 
@@ -538,6 +547,7 @@ QUERIES = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_SQL),
     "ann_ivf_fullprobe": (ann_ivf_fullprobe, ANN_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, None),
+    "ann_lsh_multiprobe": (ann_lsh_multiprobe, None),
     "txt_token_counts": (txt_token_counts, TXT_TOKENS_SQL),
     "txt_token_counts_bpe": (txt_token_counts_bpe, TXT_BPE_SQL),
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),

@@ -12,8 +12,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-EXPECTED_QUERY_COUNT = 76
-NO_ORACLE = {"ann_lsh_bucketed"}  # recall<1 by design: rows-only check
+EXPECTED_QUERY_COUNT = 77
+NO_ORACLE = {"ann_lsh_bucketed", "ann_lsh_multiprobe"}  # recall<1 by design
 
 
 def test_entry_contract_clean_subprocess():
