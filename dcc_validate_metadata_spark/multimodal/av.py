@@ -101,8 +101,16 @@ def _decode_audio(data: bytes, meta: dict, fake: bool) -> np.ndarray:
         try:
             pcm, _sr, _nch = decode_pcm_wav(data)
             return pcm
-        except (wave.Error, EOFError, ValueError):
-            pass
+        except (wave.Error, EOFError):
+            pass  # not actually WAV (WebP/AVI/truncated): stub decides
+        except ValueError as e:
+            # genuinely WAV but an unsupported PCM variant (e.g. 24-bit):
+            # never mislabel it as compressed audio; fake mode may still
+            # use the stub signal for plumbing tests
+            if not fake:
+                raise NotImplementedError(
+                    f"PCM WAV variant not supported: {e}"
+                ) from e
     return _decode_audio_stub(data, meta, fake)
 
 

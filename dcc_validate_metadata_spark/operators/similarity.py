@@ -266,14 +266,13 @@ def ann_lsh_multiprobe(
         )
     )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-    scored = (
-        base.join(
-            F.broadcast(q),
-            (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("id")),
-        )
-        .select("q_id", "id", cos.alias("_cos"))
-        .distinct()  # a (q, id) pair can match via several probes
-    )
+    # no dedup needed: the probe buckets per query are pairwise distinct
+    # and each data row has exactly ONE bucket, so a (q, id) pair matches
+    # through at most one probe
+    scored = base.join(
+        F.broadcast(q),
+        (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("id")),
+    ).select("q_id", "id", cos.alias("_cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -37,13 +37,18 @@ class Manifest:
         return done
 
     def completed_rulesets(self) -> set[str]:
-        """Distinct ruleset fingerprints recorded on ``done`` partitions
-        (legacy records without one report as ``'unknown'``)."""
-        fps = set()
-        for rec in self.records():
+        """Ruleset fingerprints of the LATEST ``done`` record per
+        partition (legacy records without one report as ``'unknown'``).
+        Only the latest matters: a resume=False re-validation overwrote
+        the partition's outputs, so older manifest history must not
+        poison future resumes."""
+        latest: dict[tuple, str] = {}
+        for rec in self.records():  # files sorted by run timestamp
             if rec.get("status") == "done":
-                fps.add(rec.get("lineage", {}).get("ruleset", "unknown"))
-        return fps
+                latest[(rec["fmt"], int(rec["bucket"]))] = rec.get(
+                    "lineage", {}
+                ).get("ruleset", "unknown")
+        return set(latest.values())
 
     def records(self) -> list[dict]:
         out = []

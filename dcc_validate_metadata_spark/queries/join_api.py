@@ -182,17 +182,17 @@ def fetch_with_join(
             # re-aggregate the matched nests back onto the original row.
             # monotonically_increasing_id is nondeterministic across plan
             # re-evaluations, and _row_id feeds BOTH branches of a
-            # self-join — persist so the ids are materialized exactly once
-            # (row-id-sized cache, bounded by the left table); registered
-            # with the shared release registry so long-lived sessions can
-            # free it alongside the dup-table caches
-            from ..operators.uniqueness import _PERSISTED_DUPS
-
+            # self-join — localCheckpoint freezes the ids (lineage
+            # truncated, blocks reclaimed by the ContextCleaner when the
+            # frame is garbage-collected). NOT the shared release
+            # registry: releasing this frame early would let the two
+            # branches re-evaluate the ids independently and silently
+            # misattach nests, unlike the dup tables whose recompute is
+            # value-stable.
             left_cols = df.columns
             with_id = df.withColumn(
                 "_row_id", F.monotonically_increasing_id()
-            ).persist()
-            _PERSISTED_DUPS.append(with_id)
+            ).localCheckpoint(eager=True)
             exploded, _ = _scalar_key(with_id, left_key, "_lk")
             matched = (
                 exploded.select("_row_id", "_lk")

@@ -180,7 +180,12 @@ def terms_aggregations_fused(
     :func:`terms_aggregations` launches one groupBy job per facet — N
     scans + N shuffles; this is the Spark-first shape: one scan, one
     shuffle keyed on (field, value), top-``cap`` buckets per field
-    (count desc, value asc), rows ``(field, value, cnt, rank)``."""
+    (count desc, value asc with NULLs LAST — matching ANSI default so
+    the DuckDB oracle ranks identically on nullable facets), rows
+    ``(field, value, cnt, rank)``. Values are cast to string so facets
+    of different types share one column — numeric facets therefore
+    tie-break lexicographically, unlike the per-facet
+    :func:`terms_aggregations` which keeps native types."""
     for field in agg_fields:
         _check_field(df, field)
     pairs = df.select(
@@ -197,7 +202,9 @@ def terms_aggregations_fused(
         ).alias("fv")
     ).select("fv.field", "fv.value")
     counts = pairs.groupBy("field", "value").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("field").orderBy(F.desc("cnt"), F.asc("value"))
+    w = Window.partitionBy("field").orderBy(
+        F.desc("cnt"), F.asc_nulls_last("value")
+    )
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cap)

@@ -60,14 +60,15 @@ class Ruleset:
     rules: tuple[Rule, ...]
 
     def fingerprint(self) -> str:
-        """Stable content hash of the compiled ruleset — recorded in the
-        manifest lineage so a resumed/compared run can prove it validated
-        under the same rules."""
+        """Stable content hash of the RULES — recorded in the manifest
+        lineage so a resumed/compared run can prove it validated under
+        the same rules. Deliberately excludes ``table`` (load_ruleset
+        derives it from the file basename; renaming an identical ruleset
+        file must not change its fingerprint)."""
         import hashlib
 
         canon = json.dumps(
             {
-                "table": self.table,
                 "rules": [
                     {
                         "field": r.field,

@@ -182,3 +182,29 @@ def test_riff_but_not_wav_falls_through_to_stub(spark):
     # truncated payload tagged pcm_wav: same fallthrough
     out2 = _decode_audio(b"RI", {**meta, "codec": "pcm_wav"}, fake=True)
     assert isinstance(out2, np.ndarray)
+
+
+def test_unsupported_pcm_width_not_mislabeled():
+    """24-bit PCM WAV: never mislabeled as compressed audio — strict mode
+    raises a width-specific NotImplementedError, fake mode still runs."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pytest
+
+    from dcc_validate_metadata_spark.multimodal.av import _decode_audio
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)  # 24-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x02" * 100)
+    data = buf.getvalue()
+    meta = {"sample_rate": 8000, "n_channels": 1, "duration_sec": 0.0125,
+            "codec": "pcm_wav"}
+    with pytest.raises(NotImplementedError, match="PCM WAV variant"):
+        _decode_audio(data, meta, fake=False)
+    out = _decode_audio(data, meta, fake=True)
+    assert isinstance(out, np.ndarray)
