@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 FIXTURE_ROWS = 1010
 FIXTURE_BUCKETS = 4
 FIXTURE_SEED = 42
-FIXTURE_VERSION = 3  # bump when fixture contents change (forces a rebuild)
+FIXTURE_VERSION = 4  # bump when fixture contents change (forces a rebuild)
 FIX_DIR = Path(
     f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}"
     f"_v{FIXTURE_VERSION}"
@@ -72,16 +72,35 @@ def ensure_fixture() -> Path:
         shutil.rmtree(tmp, ignore_errors=True)
         from ..sources.image_table import generate_image_fixture
 
+        def _refresh_lock() -> None:
+            # keep the lock mtime fresh so a build taking >_LOCK_STALE_S
+            # is never declared stale mid-build (which would admit a
+            # second concurrent builder)
+            try:
+                os.utime(lock)
+            except FileNotFoundError:
+                pass
+
         generate_image_fixture(
             tmp, n_rows=FIXTURE_ROWS, seed=FIXTURE_SEED, n_buckets=FIXTURE_BUCKETS
         )
+        _refresh_lock()
         _write_samples_fixture(tmp)
         _write_breeds_fixture(tmp)
         _write_faang_fixture(tmp)
         _write_graphql_fixture(tmp)
         _write_taxon_fixture(tmp)
+        _refresh_lock()
         _write_audio_fixture(tmp)
+        _write_ena_fixture(tmp)
+        _refresh_lock()
         (tmp / _MARKER).touch()
+        if marker.exists():
+            # lost a finish race (a waiter broke our lock and completed a
+            # rebuild): the complete fixture in place wins — never rmtree
+            # a directory another process may already be reading
+            shutil.rmtree(tmp, ignore_errors=True)
+            return FIX_DIR
         shutil.rmtree(FIX_DIR, ignore_errors=True)  # stale pre-marker partial
         try:
             os.rename(tmp, FIX_DIR)
@@ -447,6 +466,134 @@ def _write_audio_fixture(out_dir: Path) -> None:
         )
     pd.DataFrame(clips).to_parquet(out_dir / "audio_clips.parquet", index=False)
     pd.DataFrame(gold).to_parquet(out_dir / "expected_audio_features.parquet", index=False)
+
+
+def _write_ena_fixture(out_dir: Path) -> None:
+    """S9 fixture: ENA experiment / run / study / analysis sheets shaped
+    like the reference converters' inputs (ExperimentsFileConverter /
+    AnalysesFileConverter field lists), with planted XML-hostile
+    characters (& < > ") and optional-field NULLs so escaping and the
+    conditional-element branches are all exercised."""
+    import hashlib
+
+    import pandas as pd
+
+    strategies = ["ChIP-Seq", "WGS", "RNA-Seq", "ATAC-seq"]
+    platforms = [
+        ("ILLUMINA", "Illumina HiSeq 2500"),
+        ("OXFORD_NANOPORE", "MinION"),
+    ]
+    nasty = ['R&D <lot "7">', "plain", "a<b", 'say "hi" & bye']
+    exps = []
+    for i in range(64):
+        layout = "PAIRED" if i % 2 else "SINGLE"
+        plat, model = platforms[i % 2]
+        exps.append(
+            {
+                "experiment_alias": f"EXP_{i:04d}",
+                "title": f"Experiment {i} {nasty[i % 4]}",
+                "study_ref": f"STD_{i % 16:04d}",
+                "design_description": f"design {nasty[(i + 1) % 4]}",
+                "sample_descriptor": f"SAMEA{7000000 + i}",
+                "library_name": None if i % 5 == 2 else f"lib_{i:03d}",
+                "library_strategy": strategies[i % 4],
+                "library_source": "GENOMIC" if i % 3 else "TRANSCRIPTOMIC",
+                "library_selection": ["ChIP", "RANDOM", "cDNA"][i % 3],
+                "library_layout": layout,
+                "nominal_length": 250 + 10 * i if layout == "PAIRED" else None,
+                "library_construction_protocol": (
+                    None if i % 7 == 3 else f"protocol v{i % 4}"
+                ),
+                "platform": plat,
+                "instrument_model": model,
+            }
+        )
+    runs = []
+    for i in range(64):
+        paired = i % 2 == 1
+        ck = hashlib.md5(f"run{i}".encode()).hexdigest()
+        ck2 = hashlib.md5(f"run{i}p".encode()).hexdigest()
+        runs.append(
+            {
+                "run_alias": f"RUN_{i:04d}",
+                "run_center": None if i % 7 == 3 else "FAANG",
+                # both date grains the reference's strptime ladder accepts,
+                # plus NULL (attribute omitted)
+                "run_date": (
+                    None
+                    if i % 11 == 5
+                    else (
+                        f"2024-{i % 12 + 1:02d}"
+                        if i % 3 == 2
+                        else f"2024-{i % 12 + 1:02d}-{i % 28 + 1:02d}"
+                    )
+                ),
+                "experiment_ref": f"EXP_{i:04d}",
+                "filename": f"run_{i:04d}_R1.fastq.gz",
+                "filetype": "fastq",
+                "checksum_method": "MD5",
+                "checksum": ck,
+                "filename_pair": f"run_{i:04d}_R2.fastq.gz" if paired else None,
+                "filetype_pair": "fastq" if paired else None,
+                "checksum_method_pair": "MD5" if paired else None,
+                "checksum_pair": ck2 if paired else None,
+            }
+        )
+    studies = [
+        {
+            "study_alias": f"STD_{i:04d}",
+            "study_title": f"Study {i} {nasty[i % 4]}",
+            "study_type": [
+                "Whole Genome Sequencing",
+                "Transcriptome Analysis",
+                "Epigenetics",
+                "Other",
+            ][i % 4],
+            "study_abstract": None if i % 5 == 4 else f"abstract {nasty[(i + 2) % 4]}",
+        }
+        for i in range(16)
+    ]
+    analyses = []
+    for i in range(32):
+        n_files = i % 2 + 1
+        analyses.append(
+            {
+                "alias": f"AN_{i:04d}",
+                "title": f"Analysis {i} {nasty[i % 4]}",
+                "description": f"aligned reads {nasty[(i + 3) % 4]}",
+                "study": f"PRJEB{40000 + i % 16}",
+                "samples": [f"SAMEA{7000000 + j}" for j in range(i % 3 + 1)],
+                "experiments": [f"EXP_{j:04d}" for j in range(i % 3)],
+                "runs": [f"RUN_{j:04d}" for j in range(i % 2)],
+                "related_analyses": [f"AN_{i - 1:04d}"] if i % 6 == 5 else [],
+                "file_names": [f"an_{i:04d}_{k}.bam" for k in range(n_files)],
+                "file_types": ["bam"] * n_files,
+                "checksum_methods": ["MD5"] * n_files,
+                "checksums": [
+                    hashlib.md5(f"an{i}_{k}".encode()).hexdigest()
+                    for k in range(n_files)
+                ],
+                "analysis_type": [
+                    "REFERENCE_ALIGNMENT",
+                    "SEQUENCE_VARIATION",
+                    "PROCESSED_READS",
+                ][i % 3],
+                "project": "FAANG",
+                "secondary_project": None if i % 4 else "AQUA-FAANG",
+                "assay_type": "whole genome sequencing assay",
+                "analysis_protocol": f"https://data.faang.org/protocol/an_{i % 4}.pdf",
+                "analysis_code": None if i % 5 == 1 else "https://github.com/example/pipeline",
+                "reference_genome": ["Sscrofa11.1", "ARS-UCD1.2"][i % 2],
+                "analysis_center": "FAANG",
+                "analysis_date": f"2024-0{i % 9 + 1}-15",
+            }
+        )
+    exps_df = pd.DataFrame(exps)
+    exps_df["nominal_length"] = exps_df["nominal_length"].astype("Int64")
+    exps_df.to_parquet(out_dir / "ena_experiments.parquet", index=False)
+    pd.DataFrame(runs).to_parquet(out_dir / "ena_runs.parquet", index=False)
+    pd.DataFrame(studies).to_parquet(out_dir / "ena_studies.parquet", index=False)
+    pd.DataFrame(analyses).to_parquet(out_dir / "ena_analyses.parquet", index=False)
 
 
 def _write_graphql_fixture(out_dir: Path) -> None:
@@ -1110,11 +1257,20 @@ def s8_biosamples_json(spark, sf_dir):
     return biosamples_payloads(df, taxon, release=_RELEASE).orderBy("name")
 
 
+def _json_esc_sql(expr: str) -> str:
+    from ..sources.submission_sinks import json_escape_sql
+
+    return json_escape_sql(expr)
+
+
+# names/scientific names in the fixture are escape-clean, but the oracle
+# mirrors the engine's full json_escape chain so a future fixture with
+# hostile characters can't silently diverge
 S8_BIOSAMPLES_SQL = f"""
 SELECT s.name,
-       '{{"name":"' || s.name || '","release":"{_RELEASE}","taxId":' ||
+       '{{"name":"' || {_json_esc_sql('s.name')} || '","release":"{_RELEASE}","taxId":' ||
        t.taxon_id ||
-       ',"characteristics":{{"organism":[{{"text":"' || t.scientific_name ||
+       ',"characteristics":{{"organism":[{{"text":"' || {_json_esc_sql('t.scientific_name')} ||
        '","ontologyTerms":["http://purl.obolibrary.org/obo/NCBITaxon_' ||
        t.taxon_id || '"]}}]}}}}' AS payload
 FROM read_parquet('{_SAMPLES_TAXON}') s
@@ -1147,6 +1303,170 @@ SELECT s.name,
 FROM read_parquet('{_SAMPLES_TAXON}') s
 JOIN read_parquet('{_TAXON}') t ON lower(t.name) = lower(s.organism)
 ORDER BY s.name
+"""
+
+
+_ENA_EXP = str(FIX_DIR / "ena_experiments.parquet")
+_ENA_RUN = str(FIX_DIR / "ena_runs.parquet")
+_ENA_STD = str(FIX_DIR / "ena_studies.parquet")
+_ENA_AN = str(FIX_DIR / "ena_analyses.parquet")
+
+
+def _esc_sql(expr: str, attr: bool = False) -> str:
+    from ..sources.submission_sinks import xml_escape_sql
+
+    return xml_escape_sql(expr, attr=attr)
+
+
+def s9b_ena_run_xml(spark, sf_dir):
+    """S9b: ENA <RUN> docs (EXPERIMENT_REF + DATA_BLOCK/FILES with the
+    paired-file branch and the reference's strptime-ladder run_date →
+    isoformat attribute), whole-column concat, no UDF."""
+    from ..sources.submission_sinks import ena_run_xml
+
+    ensure_fixture()
+    return ena_run_xml(spark.read.parquet(_ENA_RUN)).orderBy("alias")
+
+
+S9B_ENA_RUN_SQL = f"""
+SELECT run_alias AS alias,
+  '<RUN alias="' || run_alias || '"'
+  || CASE WHEN run_center IS NOT NULL
+          THEN ' run_center="' || run_center || '"' ELSE '' END
+  || CASE WHEN run_date IS NOT NULL
+          THEN ' run_date="' || strftime(
+                 coalesce(try_strptime(run_date, '%Y-%m-%d'),
+                          try_strptime(run_date, '%Y-%m')),
+                 '%Y-%m-%dT%H:%M:%S') || '"'
+          ELSE '' END
+  || '><EXPERIMENT_REF refname="' || experiment_ref || '"/><DATA_BLOCK><FILES>'
+  || '<FILE filename="' || filename || '" filetype="' || filetype
+  || '" checksum_method="' || checksum_method || '" checksum="' || checksum || '"/>'
+  || CASE WHEN filename_pair IS NOT NULL
+          THEN '<FILE filename="' || filename_pair || '" filetype="' || filetype_pair
+               || '" checksum_method="' || checksum_method_pair
+               || '" checksum="' || checksum_pair || '"/>'
+          ELSE '' END
+  || '</FILES></DATA_BLOCK></RUN>' AS xml
+FROM read_parquet('{_ENA_RUN}')
+ORDER BY alias
+"""
+
+
+def s9c_ena_experiment_xml(spark, sf_dir):
+    """S9c: ENA <EXPERIMENT> docs — DESIGN/LIBRARY_DESCRIPTOR with the
+    SINGLE|PAIRED layout branch, optional library name/protocol, and the
+    platform-named PLATFORM child element."""
+    from ..sources.submission_sinks import ena_experiment_xml
+
+    ensure_fixture()
+    return ena_experiment_xml(spark.read.parquet(_ENA_EXP)).orderBy("alias")
+
+
+S9C_ENA_EXP_SQL = f"""
+SELECT experiment_alias AS alias,
+  '<EXPERIMENT alias="' || experiment_alias || '"><TITLE>'
+  || {_esc_sql('title')}
+  || '</TITLE><STUDY_REF refname="' || study_ref || '"/><DESIGN><DESIGN_DESCRIPTION>'
+  || {_esc_sql('design_description')}
+  || '</DESIGN_DESCRIPTION><SAMPLE_DESCRIPTOR refname="' || sample_descriptor
+  || '"/><LIBRARY_DESCRIPTOR>'
+  || CASE WHEN library_name IS NOT NULL
+          THEN '<LIBRARY_NAME>' || library_name || '</LIBRARY_NAME>' ELSE '' END
+  || '<LIBRARY_STRATEGY>' || library_strategy || '</LIBRARY_STRATEGY>'
+  || '<LIBRARY_SOURCE>' || library_source || '</LIBRARY_SOURCE>'
+  || '<LIBRARY_SELECTION>' || library_selection || '</LIBRARY_SELECTION>'
+  || CASE WHEN library_layout = 'PAIRED'
+          THEN '<LIBRARY_LAYOUT><PAIRED NOMINAL_LENGTH="' || nominal_length::BIGINT
+               || '"/></LIBRARY_LAYOUT>'
+          ELSE '<LIBRARY_LAYOUT><SINGLE/></LIBRARY_LAYOUT>' END
+  || CASE WHEN library_construction_protocol IS NOT NULL
+          THEN '<LIBRARY_CONSTRUCTION_PROTOCOL>' || library_construction_protocol
+               || '</LIBRARY_CONSTRUCTION_PROTOCOL>'
+          ELSE '' END
+  || '</LIBRARY_DESCRIPTOR></DESIGN><PLATFORM><' || platform
+  || '><INSTRUMENT_MODEL>' || instrument_model || '</INSTRUMENT_MODEL></'
+  || platform || '></PLATFORM></EXPERIMENT>' AS xml
+FROM read_parquet('{_ENA_EXP}')
+ORDER BY alias
+"""
+
+
+def s9d_ena_study_xml(spark, sf_dir):
+    """S9d: ENA <STUDY> docs — DESCRIPTOR with STUDY_TYPE attribute and
+    optional STUDY_ABSTRACT."""
+    from ..sources.submission_sinks import ena_study_xml
+
+    ensure_fixture()
+    return ena_study_xml(spark.read.parquet(_ENA_STD)).orderBy("alias")
+
+
+S9D_ENA_STD_SQL = f"""
+SELECT study_alias AS alias,
+  '<STUDY alias="' || study_alias || '"><DESCRIPTOR><STUDY_TITLE>'
+  || {_esc_sql('study_title')}
+  || '</STUDY_TITLE><STUDY_TYPE existing_study_type="' || study_type || '"/>'
+  || CASE WHEN study_abstract IS NOT NULL
+          THEN '<STUDY_ABSTRACT>' || {_esc_sql('study_abstract')} || '</STUDY_ABSTRACT>'
+          ELSE '' END
+  || '</DESCRIPTOR></STUDY>' AS xml
+FROM read_parquet('{_ENA_STD}')
+ORDER BY alias
+"""
+
+
+def s9e_ena_analysis_xml(spark, sf_dir):
+    """S9e: ENA <ANALYSIS> docs — accession-ref lists flattened with
+    transform/zip_with (one projection, no explode), zipped FILE arrays,
+    and the FAANG ANALYSIS_ATTRIBUTES block with null-skipped tags."""
+    from ..sources.submission_sinks import ena_analysis_xml
+
+    ensure_fixture()
+    return ena_analysis_xml(spark.read.parquet(_ENA_AN)).orderBy("alias")
+
+
+_AN_ATTR_SQL = "\n  || ".join(
+    f"""CASE WHEN {col} IS NOT NULL
+          THEN '<ANALYSIS_ATTRIBUTE><TAG>{tag}</TAG><VALUE>' || {col}
+               || '</VALUE></ANALYSIS_ATTRIBUTE>'
+          ELSE '' END"""
+    for col, tag in [
+        ("project", "Project"),
+        ("secondary_project", "Secondary Project"),
+        ("assay_type", "Assay Type"),
+        ("analysis_protocol", "Analysis Protocol"),
+        ("analysis_code", "Analysis code"),
+        ("reference_genome", "Reference genome"),
+        ("analysis_center", "Analysis center"),
+        ("analysis_date", "Analysis date"),
+    ]
+)
+
+S9E_ENA_AN_SQL = f"""
+SELECT alias,
+  '<ANALYSIS alias="' || alias || '"><TITLE>'
+  || {_esc_sql('title')}
+  || '</TITLE><DESCRIPTION>'
+  || {_esc_sql('description')}
+  || '</DESCRIPTION><STUDY_REF accession="' || study || '"/>'
+  || coalesce(array_to_string(list_transform(samples,
+       x -> '<SAMPLE_REF accession="' || x || '"/>'), ''), '')
+  || coalesce(array_to_string(list_transform(experiments,
+       x -> '<EXPERIMENT_REF accession="' || x || '"/>'), ''), '')
+  || coalesce(array_to_string(list_transform(runs,
+       x -> '<RUN_REF accession="' || x || '"/>'), ''), '')
+  || coalesce(array_to_string(list_transform(related_analyses,
+       x -> '<ANALYSIS_REF accession="' || x || '"/>'), ''), '')
+  || '<ANALYSIS_TYPE><' || analysis_type || '/></ANALYSIS_TYPE><FILES>'
+  || array_to_string(list_transform(range(1, len(file_names) + 1),
+       i -> '<FILE filename="' || file_names[i] || '" filetype="' || file_types[i]
+            || '" checksum_method="' || checksum_methods[i]
+            || '" checksum="' || checksums[i] || '"/>'), '')
+  || '</FILES><ANALYSIS_ATTRIBUTES>'
+  || {_AN_ATTR_SQL}
+  || '</ANALYSIS_ATTRIBUTES></ANALYSIS>' AS xml
+FROM read_parquet('{_ENA_AN}')
+ORDER BY alias
 """
 
 
@@ -1230,6 +1550,10 @@ QUERIES = {
     "s8_biosamples_json": (s8_biosamples_json, S8_BIOSAMPLES_SQL),
     "av_audio_features": (av_audio_features, AV_AUDIO_SQL),
     "s9_ena_sample_xml": (s9_ena_sample_xml, S9_ENA_XML_SQL),
+    "s9b_ena_run_xml": (s9b_ena_run_xml, S9B_ENA_RUN_SQL),
+    "s9c_ena_experiment_xml": (s9c_ena_experiment_xml, S9C_ENA_EXP_SQL),
+    "s9d_ena_study_xml": (s9d_ena_study_xml, S9D_ENA_STD_SQL),
+    "s9e_ena_analysis_xml": (s9e_ena_analysis_xml, S9E_ENA_AN_SQL),
     "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
     "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
     "samples_label_match": (samples_label_match, LABEL_MATCH_SQL),

@@ -26,13 +26,41 @@ OBO_PURL = "http://purl.obolibrary.org/obo/NCBITaxon_"
 
 
 def json_escape(c: Column) -> Column:
-    """Minimal JSON string escaping (backslash first, then quote) —
-    matches the oracle's replace() chain byte-for-byte."""
-    # replacement strings are Java-regex replacements: a literal backslash
-    # in the OUTPUT needs \\ at the Java level
-    return F.regexp_replace(
-        F.regexp_replace(c.cast("string"), r"\\", r"\\\\"), '"', r'\\"'
-    )
+    """JSON string escaping (backslash first, then quote and the common
+    C0 controls) — matches the oracle's replace() chain byte-for-byte.
+    Remaining sub-0x20 controls are not expected in record names (the
+    reference's json.dumps would encode them; sheet ingest strips them),
+    but the frequent ones — newline/CR/tab/backspace/formfeed — must not
+    produce invalid payloads."""
+    out = c.cast("string")
+    for search, repl in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+        ("\b", "\\b"),
+        ("\f", "\\f"),
+    ):
+        out = F.replace(out, F.lit(search), F.lit(repl))
+    return out
+
+
+def json_escape_sql(expr: str) -> str:
+    """DuckDB expression mirroring :func:`json_escape` exactly (same
+    replace chain, same order) so oracles reproduce payload bytes."""
+    out = expr
+    for search, repl in (
+        ("chr(92)", "chr(92) || chr(92)"),
+        ("chr(34)", "chr(92) || chr(34)"),
+        ("chr(10)", "chr(92) || 'n'"),
+        ("chr(13)", "chr(92) || 'r'"),
+        ("chr(9)", "chr(92) || 't'"),
+        ("chr(8)", "chr(92) || 'b'"),
+        ("chr(12)", "chr(92) || 'f'"),
+    ):
+        out = f"replace({out}, {search}, {repl})"
+    return out
 
 
 def xml_escape(c: Column) -> Column:
@@ -162,3 +190,284 @@ def ena_sample_xml(
         F.lit("</SAMPLE_ATTRIBUTES></SAMPLE>"),
     )
     return enriched.select(F.col(name_col).alias("name"), xml.alias("xml"))
+
+
+def xml_escape_sql(expr: str, attr: bool = False) -> str:
+    """DuckDB expression mirroring :func:`xml_escape` /
+    :func:`xml_escape_attr` byte-for-byte."""
+    out = f"replace(replace(replace({expr}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    if attr:
+        out = f"replace({out}, chr(34), '&quot;')"
+    return out
+
+
+def _opt_elt(col: str, open_tag: str, close_tag: str) -> Column:
+    """Element emitted only when the column is non-null (reference's
+    check_field_existence + conditional SubElement pattern)."""
+    return F.when(
+        F.col(col).isNotNull(),
+        F.concat(F.lit(open_tag), xml_escape(F.col(col)), F.lit(close_tag)),
+    ).otherwise(F.lit(""))
+
+
+def ena_experiment_xml(df: DataFrame) -> DataFrame:
+    """(alias, xml) — one ENA ``<EXPERIMENT>`` document per record.
+
+    Element sequence mirrors the reference's experiment converter
+    (``submission/ExperimentsFileConverter.py`` ``generate_experiment_xml``
+    — bytecode-inspected tag order): EXPERIMENT[alias] → TITLE →
+    STUDY_REF[refname] → DESIGN(DESIGN_DESCRIPTION, SAMPLE_DESCRIPTOR
+    [refname], LIBRARY_DESCRIPTOR(LIBRARY_NAME, LIBRARY_STRATEGY,
+    LIBRARY_SOURCE, LIBRARY_SELECTION, LIBRARY_LAYOUT(SINGLE |
+    PAIRED[NOMINAL_LENGTH]), LIBRARY_CONSTRUCTION_PROTOCOL)) →
+    PLATFORM({platform}(INSTRUMENT_MODEL)). Whole-column concat; no UDF.
+    """
+    layout = F.when(
+        F.col("library_layout") == "PAIRED",
+        F.concat(
+            F.lit('<LIBRARY_LAYOUT><PAIRED NOMINAL_LENGTH="'),
+            F.col("nominal_length").cast("bigint").cast("string"),
+            F.lit('"/></LIBRARY_LAYOUT>'),
+        ),
+    ).otherwise(F.lit("<LIBRARY_LAYOUT><SINGLE/></LIBRARY_LAYOUT>"))
+    xml = F.concat(
+        F.lit('<EXPERIMENT alias="'),
+        xml_escape_attr(F.col("experiment_alias")),
+        F.lit('"><TITLE>'),
+        xml_escape(F.col("title")),
+        F.lit('</TITLE><STUDY_REF refname="'),
+        xml_escape_attr(F.col("study_ref")),
+        F.lit('"/><DESIGN><DESIGN_DESCRIPTION>'),
+        xml_escape(F.col("design_description")),
+        F.lit('</DESIGN_DESCRIPTION><SAMPLE_DESCRIPTOR refname="'),
+        xml_escape_attr(F.col("sample_descriptor")),
+        F.lit('"/><LIBRARY_DESCRIPTOR>'),
+        _opt_elt("library_name", "<LIBRARY_NAME>", "</LIBRARY_NAME>"),
+        F.lit("<LIBRARY_STRATEGY>"),
+        xml_escape(F.col("library_strategy")),
+        F.lit("</LIBRARY_STRATEGY><LIBRARY_SOURCE>"),
+        xml_escape(F.col("library_source")),
+        F.lit("</LIBRARY_SOURCE><LIBRARY_SELECTION>"),
+        xml_escape(F.col("library_selection")),
+        F.lit("</LIBRARY_SELECTION>"),
+        layout,
+        _opt_elt(
+            "library_construction_protocol",
+            "<LIBRARY_CONSTRUCTION_PROTOCOL>",
+            "</LIBRARY_CONSTRUCTION_PROTOCOL>",
+        ),
+        F.lit("</LIBRARY_DESCRIPTOR></DESIGN><PLATFORM><"),
+        F.col("platform"),
+        F.lit("><INSTRUMENT_MODEL>"),
+        xml_escape(F.col("instrument_model")),
+        F.lit("</INSTRUMENT_MODEL></"),
+        F.col("platform"),
+        F.lit("></PLATFORM></EXPERIMENT>"),
+    )
+    return df.select(F.col("experiment_alias").alias("alias"), xml.alias("xml"))
+
+
+def _iso_run_date(c: Column) -> Column:
+    """Reference parses run_date as %Y-%m-%d, falling back to %Y-%m, then
+    emits ``datetime.isoformat()`` (``ExperimentsFileConverter.py``
+    ``generate_run_xml``) — i.e. midnight-stamped ISO."""
+    ts = F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM")),
+    )
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def _file_elt(fn: str, ft: str, cm: str, ck: str) -> Column:
+    return F.concat(
+        F.lit('<FILE filename="'),
+        xml_escape_attr(F.col(fn)),
+        F.lit('" filetype="'),
+        xml_escape_attr(F.col(ft)),
+        F.lit('" checksum_method="'),
+        xml_escape_attr(F.col(cm)),
+        F.lit('" checksum="'),
+        xml_escape_attr(F.col(ck)),
+        F.lit('"/>'),
+    )
+
+
+def ena_run_xml(df: DataFrame) -> DataFrame:
+    """(alias, xml) — one ENA ``<RUN>`` document per record: RUN[alias,
+    run_center?, run_date→isoformat] → EXPERIMENT_REF[refname] →
+    DATA_BLOCK(FILES(FILE[filename, filetype, checksum_method, checksum]
+    ×1-2)) — the ``*_pair`` columns emit the second FILE for paired
+    layouts, mirroring the reference's paired branch."""
+    center = F.when(
+        F.col("run_center").isNotNull(),
+        F.concat(
+            F.lit(' run_center="'), xml_escape_attr(F.col("run_center")), F.lit('"')
+        ),
+    ).otherwise(F.lit(""))
+    date = F.when(
+        F.col("run_date").isNotNull(),
+        F.concat(F.lit(' run_date="'), _iso_run_date(F.col("run_date")), F.lit('"')),
+    ).otherwise(F.lit(""))
+    pair = F.when(
+        F.col("filename_pair").isNotNull(),
+        _file_elt("filename_pair", "filetype_pair", "checksum_method_pair", "checksum_pair"),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<RUN alias="'),
+        xml_escape_attr(F.col("run_alias")),
+        F.lit('"'),
+        center,
+        date,
+        F.lit('><EXPERIMENT_REF refname="'),
+        xml_escape_attr(F.col("experiment_ref")),
+        F.lit('"/><DATA_BLOCK><FILES>'),
+        _file_elt("filename", "filetype", "checksum_method", "checksum"),
+        pair,
+        F.lit("</FILES></DATA_BLOCK></RUN>"),
+    )
+    return df.select(F.col("run_alias").alias("alias"), xml.alias("xml"))
+
+
+def ena_study_xml(df: DataFrame) -> DataFrame:
+    """(alias, xml) — one ENA ``<STUDY>`` document per record: STUDY
+    [alias] → DESCRIPTOR(STUDY_TITLE, STUDY_TYPE[existing_study_type],
+    STUDY_ABSTRACT?) per the reference's ``generate_study_xml``."""
+    xml = F.concat(
+        F.lit('<STUDY alias="'),
+        xml_escape_attr(F.col("study_alias")),
+        F.lit('"><DESCRIPTOR><STUDY_TITLE>'),
+        xml_escape(F.col("study_title")),
+        F.lit('</STUDY_TITLE><STUDY_TYPE existing_study_type="'),
+        xml_escape_attr(F.col("study_type")),
+        F.lit('"/>'),
+        _opt_elt("study_abstract", "<STUDY_ABSTRACT>", "</STUDY_ABSTRACT>"),
+        F.lit("</DESCRIPTOR></STUDY>"),
+    )
+    return df.select(F.col("study_alias").alias("alias"), xml.alias("xml"))
+
+
+def ena_submission_xml(df: DataFrame, hold_until_col: str | None = None) -> DataFrame:
+    """(alias, xml) — ENA ``<SUBMISSION>`` wrapper: ACTIONS(ACTION(ADD),
+    ACTION(HOLD[HoldUntilDate] | RELEASE)). The reference stamps
+    HoldUntilDate = today+2y for private submissions
+    (``FileConverter.generate_submission_xml``); here the date is an
+    explicit column so documents stay deterministic."""
+    if hold_until_col is not None:
+        second = F.when(
+            F.col(hold_until_col).isNotNull(),
+            F.concat(
+                F.lit('<ACTION><HOLD HoldUntilDate="'),
+                xml_escape_attr(F.col(hold_until_col)),
+                F.lit('"/></ACTION>'),
+            ),
+        ).otherwise(F.lit("<ACTION><RELEASE/></ACTION>"))
+    else:
+        second = F.lit("<ACTION><RELEASE/></ACTION>")
+    xml = F.concat(
+        F.lit('<SUBMISSION alias="'),
+        xml_escape_attr(F.col("alias")),
+        F.lit('"><ACTIONS><ACTION><ADD/></ACTION>'),
+        second,
+        F.lit("</ACTIONS></SUBMISSION>"),
+    )
+    return df.select(F.col("alias").alias("alias"), xml.alias("xml"))
+
+
+_ANALYSIS_ATTR_TAGS = [
+    ("project", "Project"),
+    ("secondary_project", "Secondary Project"),
+    ("assay_type", "Assay Type"),
+    ("analysis_protocol", "Analysis Protocol"),
+    ("analysis_code", "Analysis code"),
+    ("reference_genome", "Reference genome"),
+    ("analysis_center", "Analysis center"),
+    ("analysis_date", "Analysis date"),
+]
+
+
+def _ref_list(col: str, tag: str) -> Column:
+    """One ``<TAG accession="..."/>`` per array element, order-preserving
+    (the reference loops the accession lists emitting one SubElement
+    each); empty/null arrays emit nothing."""
+    return F.when(
+        F.col(col).isNotNull(),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.col(col),
+                lambda x: F.concat(
+                    F.lit(f'<{tag} accession="'),
+                    xml_escape_attr(x),
+                    F.lit('"/>'),
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+
+
+def ena_analysis_xml(df: DataFrame) -> DataFrame:
+    """(alias, xml) — one ENA ``<ANALYSIS>`` document per record
+    mirroring ``submission/AnalysesFileConverter.generate_analysis_xml``
+    (bytecode-inspected): ANALYSIS[alias] → TITLE → DESCRIPTION →
+    STUDY_REF[accession] → SAMPLE_REF* → EXPERIMENT_REF* → RUN_REF* →
+    ANALYSIS_REF* → ANALYSIS_TYPE({analysis_type}/) →
+    FILES(FILE[filename, filetype, checksum_method, checksum] per zipped
+    file arrays) → ANALYSIS_ATTRIBUTES(ANALYSIS_ATTRIBUTE(TAG, VALUE) for
+    Project / Secondary Project / Assay Type / Analysis Protocol /
+    Analysis code / Reference genome / Analysis center / Analysis date,
+    nulls skipped). Arrays are flattened with ``transform``/``zip_with``
+    — one projection, no explode, no UDF."""
+    files = F.concat_ws(
+        "",
+        F.zip_with(
+            F.col("file_names"),
+            F.arrays_zip(
+                F.col("file_types"), F.col("checksum_methods"), F.col("checksums")
+            ),
+            lambda fn, rest: F.concat(
+                F.lit('<FILE filename="'),
+                xml_escape_attr(fn),
+                F.lit('" filetype="'),
+                xml_escape_attr(rest["file_types"]),
+                F.lit('" checksum_method="'),
+                xml_escape_attr(rest["checksum_methods"]),
+                F.lit('" checksum="'),
+                xml_escape_attr(rest["checksums"]),
+                F.lit('"/>'),
+            ),
+        ),
+    )
+    attrs = [
+        F.when(
+            F.col(col).isNotNull(),
+            F.concat(
+                F.lit(f"<ANALYSIS_ATTRIBUTE><TAG>{tag}</TAG><VALUE>"),
+                xml_escape(F.col(col)),
+                F.lit("</VALUE></ANALYSIS_ATTRIBUTE>"),
+            ),
+        ).otherwise(F.lit(""))
+        for col, tag in _ANALYSIS_ATTR_TAGS
+    ]
+    xml = F.concat(
+        F.lit('<ANALYSIS alias="'),
+        xml_escape_attr(F.col("alias")),
+        F.lit('"><TITLE>'),
+        xml_escape(F.col("title")),
+        F.lit("</TITLE><DESCRIPTION>"),
+        xml_escape(F.col("description")),
+        F.lit('</DESCRIPTION><STUDY_REF accession="'),
+        xml_escape_attr(F.col("study")),
+        F.lit('"/>'),
+        _ref_list("samples", "SAMPLE_REF"),
+        _ref_list("experiments", "EXPERIMENT_REF"),
+        _ref_list("runs", "RUN_REF"),
+        _ref_list("related_analyses", "ANALYSIS_REF"),
+        F.lit("<ANALYSIS_TYPE><"),
+        F.col("analysis_type"),
+        F.lit("/></ANALYSIS_TYPE><FILES>"),
+        files,
+        F.lit("</FILES><ANALYSIS_ATTRIBUTES>"),
+        *attrs,
+        F.lit("</ANALYSIS_ATTRIBUTES></ANALYSIS>"),
+    )
+    return df.select(F.col("alias").alias("alias"), xml.alias("xml"))
