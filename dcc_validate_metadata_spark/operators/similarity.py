@@ -86,18 +86,17 @@ def train_ivf_centroids(
     == by cosine).
 
     Sampling is automatic by default (``sample_fraction=None``): the
-    collect is capped at ``max_train_rows`` via a counted fraction, so a
-    10^9-vector table trains on a ~1M sample instead of OOMing the driver
-    — clustering quality is indistinguishable at that size. Pass an
-    explicit fraction to override (1.0 forces a full collect)."""
+    collect is capped at ``max_train_rows`` with an unconditional
+    ``limit`` — NO pre-count (a counted fraction cost one extra scan of
+    the embedding table per training call). ``limit`` prefers early
+    partitions; that locality bias is acceptable for coarse-quantizer
+    training (k-means over ≤1M of anything representative), and callers
+    with adversarially-sorted layouts can pass an explicit
+    ``sample_fraction`` for Bernoulli randomness (1.0 forces a full
+    collect)."""
     sample = emb.select(vec_col)
     if sample_fraction is None:
-        n = sample.count()
-        if n > max_train_rows:
-            # 1.1x head-room then exact cap: sample() is Bernoulli, so a
-            # bare fraction can undershoot; the limit keeps it bounded
-            frac = min(1.0, 1.1 * max_train_rows / n)
-            sample = sample.sample(fraction=frac, seed=seed).limit(max_train_rows)
+        sample = sample.limit(max_train_rows)
     elif sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)

@@ -359,9 +359,12 @@ def _faang_expected(rows: list[dict], table: str = "organism") -> list[dict]:
                 if venum and sval not in venum:
                     emit(name, fname, "error", M.msg_enum(sval, fname, venum))
                 if value.get("type") == "number":
-                    try:
-                        float(sval)
-                    except ValueError:
+                    # same regex as the compiler's numeric rule (NUMBER_RE)
+                    # — float() would accept '1_000'/'inf' that Spark (and
+                    # JSON) reject, letting the golden diverge
+                    from ..rules.constants import NUMBER_RE
+
+                    if not _re.match(NUMBER_RE, sval):
                         emit(name, fname, "error", M.msg_numeric(sval, fname))
                 if units is not None and str(units) in DATE_UNIT_FORMATS:
                     u = str(units)

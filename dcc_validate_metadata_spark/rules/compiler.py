@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from .constants import (
     DATE_UNIT_FORMATS,
     MISSING_VALUES,
+    NUMBER_RE,
     SAFE_NAME_PATTERN,
     SEVERITY_ERROR,
     SEVERITY_WARNING,
@@ -152,9 +153,13 @@ def compile_rule(rule: Rule, df: DataFrame, table: str) -> Column | None:
 
     if rule.kind == "numeric":
         # stringly-typed sheets: a JSON-Schema {"type": "number"} value
-        # must parse as a double (reference: remote Elixir type check, X1)
+        # must be a JSON-grammar decimal (reference: remote Elixir type
+        # check, X1). A strict regex — not try_cast — because engine
+        # dialects disagree at the edges (Spark cast admits 'Infinity'/
+        # 'NaN', Python float() admits '1_000'/'inf'); JSON numbers admit
+        # neither, and the regex pins both engine and golden to that
         return F.when(
-            present & c.cast("string").try_cast("double").isNull(),
+            present & ~c.cast("string").rlike(NUMBER_RE),
             _violation(
                 f,
                 SEVERITY_ERROR,

@@ -48,3 +48,9 @@ DATE_UNIT_FORMATS = {
 
 # safe-name allowlist regex (metadata_validation_conversion/helpers.py:12-30)
 SAFE_NAME_PATTERN = r"^[A-Za-z0-9._-]+$"
+
+# JSON-grammar-ish decimal accepted by the numeric rule — shared by the
+# compiler (Spark rlike) and the independent golden (Python re) so the
+# two can never diverge at dialect edges ('1_000', 'inf', 'Infinity',
+# 'NaN' are all rejected by both)
+NUMBER_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"

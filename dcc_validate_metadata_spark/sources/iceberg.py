@@ -174,13 +174,21 @@ def upsert_by_key(
         return
     if partition_cols:
         touched = updates.select(*partition_cols).distinct().collect()
+        if not touched:
+            return  # empty batch: nothing to merge, nothing to rewrite
         cond = None
         for row in touched:
             c = F.lit(True)
             for k in partition_cols:
-                c = c & (F.col(k) == F.lit(row[k]))
+                # eqNullSafe: a null-valued partition key must still SELECT
+                # that partition's existing rows — plain == is never true
+                # for null, which would drop other keys' rows from `kept`
+                # while dynamic overwrite still rewrites the partition
+                c = c & F.col(k).eqNullSafe(F.lit(row[k]))
             cond = c if cond is None else (cond | c)
         existing = existing.filter(cond)
+    elif updates.isEmpty():
+        return  # empty batch on the full-table path: no-op
     kept = existing.join(
         updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )

@@ -336,9 +336,14 @@ def write_annotated_workbook(
         styles: dict[tuple[int, int], int] = {}
         for ri, row in enumerate(rows[1:], start=1):
             row = list(row) + [None] * (len(rows[0]) - len(row))
+            # same normalization as validate_sheet: a whitespace-only name
+            # cell is ABSENT (trim→''→NULL there), so its violations are
+            # keyed by the '{sheet}_{row}' fallback — matching here keeps
+            # those rows' issues attached and coloured
+            cell = row[name_idx] if name_idx is not None else None
             rec_name = (
-                str(row[name_idx])
-                if name_idx is not None and row[name_idx] is not None
+                str(cell)
+                if cell is not None and str(cell).strip() != ""
                 else f"{name}_{ri}"
             )
             issues = sheet_viol.get(rec_name, [])

@@ -74,13 +74,13 @@ def write_batch_violations(
     from pyspark.errors import AnalysisException
 
     try:
-        return (
-            spark.read.parquet(str(out / "violations"))
-            .filter(F.col("batch") == int(batch_id))
-            .count()
-        )
+        # read ONLY this batch's partition directory — the accumulated
+        # root is never listed, so the count stays O(batch) even on a
+        # stream with 10^5 completed batches (counting `tagged` pre-write
+        # instead would recompute the decode lineage a second time)
+        return spark.read.parquet(str(out / "violations" / f"batch={int(batch_id)}")).count()
     except AnalysisException as e:
-        # only "no directory yet" means a zero-violation stream; any
+        # only "no directory yet" means a zero-violation batch; any
         # other failure must surface, or the status events would record
         # a silently-wrong 0 and the running total would drift
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):

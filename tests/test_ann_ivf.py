@@ -33,6 +33,21 @@ def test_centroids_deterministic_and_normalized(emb, cents):
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
 
 
+def test_training_runs_single_job(spark, emb):
+    """The auto-sampling path must not pre-count the embedding table: one
+    Spark job total (the bounded toPandas collect), not scan + collect."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("ivf-train-probe", "count jobs during training")
+    try:
+        train_ivf_centroids(emb, n_lists=N_LISTS, iters=2)
+        jobs = tracker.getJobIdsForGroup("ivf-train-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) == 1, f"training ran {len(jobs)} jobs, expected 1: {jobs}"
+
+
 def test_full_probe_equals_brute_force(emb, cents):
     exact = {
         (r["q_id"], r["rank"]): r["id"]

@@ -95,3 +95,43 @@ def test_upsert_by_key_unpartitioned(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_upsert_null_partition_keeps_existing_rows(spark, tmp_path):
+    """A batch touching a NULL-valued partition must still merge that
+    partition's existing rows: null-unsafe equality would exclude them
+    from `kept` while dynamic overwrite rewrites the partition —
+    silently deleting other keys' rows."""
+    from dcc_validate_metadata_spark.sources.iceberg import upsert_by_key
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [("a", None, "va"), ("b", None, "vb"), ("c", 1, "vc")],
+        "doc_id string, shard int, val string",
+    )
+    upsert_by_key(spark, path, base, ["doc_id"], partition_cols=["shard"])
+    updates = spark.createDataFrame(
+        [("a", None, "NEW")], "doc_id string, shard int, val string"
+    )
+    upsert_by_key(spark, path, updates, ["doc_id"], partition_cols=["shard"])
+    got = {r["doc_id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "NEW", "b": "vb", "c": "vc"}
+
+
+def test_upsert_empty_batch_is_noop(spark, tmp_path):
+    import os
+
+    from dcc_validate_metadata_spark.sources.iceberg import upsert_by_key
+
+    path = str(tmp_path / "kv2")
+    base = spark.createDataFrame(
+        [("a", 0, "va")], "doc_id string, shard int, val string"
+    )
+    upsert_by_key(spark, path, base, ["doc_id"], partition_cols=["shard"])
+    before = sorted(os.listdir(f"{path}/shard=0"))
+    empty = base.limit(0)
+    upsert_by_key(spark, path, empty, ["doc_id"], partition_cols=["shard"])
+    upsert_by_key(spark, path, empty, ["doc_id"])  # full-table path too
+    assert sorted(os.listdir(f"{path}/shard=0")) == before
+    got = {r["doc_id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "va"}

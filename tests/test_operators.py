@@ -179,6 +179,13 @@ def test_connected_components_chain_and_clusters(spark):
     assert all(comp[n] == 10 for n in (10, 11, 12))
     assert comp[20] == comp[21] == 20
 
+    # the distributed path (gate forced off) computes the same fixpoint
+    comp_dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert comp_dist == comp
+
     keep = {r["doc_id"]: (r["cluster_id"], r["keep"])
             for r in dedup_keep_list(pairs).collect()}
     assert keep[1] == (1, True) and keep[6] == (1, False)
@@ -191,4 +198,4 @@ def test_connected_components_chain_and_clusters(spark):
         [(i, i + 1) for i in range(12)], "id_a int, id_b int"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(long_chain, max_iter=2)
+        connected_components(long_chain, max_iter=2, local_threshold=0)

@@ -60,6 +60,26 @@ def test_missing_tokens_matrix(spark):
     )
 
 
+def test_numeric_rule_json_grammar(spark):
+    """Numeric rule accepts JSON-grammar decimals only; Spark-cast and
+    Python-float() dialect extras ('Infinity', 'NaN', '1_000', 'inf')
+    are all rejected, and the independent golden uses the same regex."""
+    import re
+
+    from dcc_validate_metadata_spark.rules.constants import NUMBER_RE
+
+    good = ["0", "42", "-3.5", "+.5", "1e9", "2.5E-3", "007"]
+    bad = ["1_000", "inf", "Infinity", "NaN", "nan", "1.2.3", "1e", "abc", "0x1f"]
+    rows = [{"name": f"g{i}", "v": v} for i, v in enumerate(good)] + [
+        {"name": f"b{i}", "v": v} for i, v in enumerate(bad)
+    ]
+    got = _run(spark, rows, [Rule("v", "numeric")], "name string, v string")
+    assert {g[0] for g in got} == {f"b{i}" for i in range(len(bad))}
+    # regex parity: the golden's re.match agrees with the engine verdicts
+    assert all(re.match(NUMBER_RE, v) for v in good)
+    assert not any(re.match(NUMBER_RE, v) for v in bad)
+
+
 def test_range_boundaries(spark):
     rows = [
         {"name": "lo_ok", "v": 1},

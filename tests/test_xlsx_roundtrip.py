@@ -105,3 +105,35 @@ def test_annotated_workbook_colours_and_issue_column(spark, workbook_path, tmp_p
     assert "error:project:Provided value 'NOTFAANG' for field 'project'" in (
         annotated[3][-1]
     )
+
+
+def test_annotated_workbook_whitespace_name_uses_fallback(spark, tmp_path):
+    """A whitespace-only name cell is blanked by validate_sheet and its
+    violations keyed '{sheet}_{row}' — the annotated writer must apply
+    the same normalization or those rows' issues silently detach."""
+    rows = _faang_fixture_rows()[:3]
+    rows[1] = dict(rows[1], sample_name="   ", project="NOTFAANG")
+    headers = list(rows[0])
+    grid = [headers] + [[r[c] for c in headers] for r in rows]
+    path = tmp_path / "ws.xlsx"
+    write_workbook(path, {"organism": grid})
+
+    sheets_df = workbook_to_dataframes(spark, path)
+    rs, spec = organism_ruleset()
+    spec = dataclasses.replace(spec, type_fields=spec.type_fields + ("sample_name",))
+    viol, _ = validate_workbook(
+        sheets_df, {"organism": spec}, {"organism": rs}, name_field="sample_name"
+    )
+    # the blanked-name row's violations carry the fallback name
+    names = {r["name"] for r in viol.collect()}
+    assert "organism_2" in names
+
+    out = tmp_path / "ws_annotated.xlsx"
+    write_annotated_workbook(
+        out, {"organism": grid}, viol, sheet_name_field="sample_name"
+    )
+    annotated = read_workbook(out)["organism"]
+    issues_cell = annotated[2][-1]  # the whitespace-name row
+    assert issues_cell is not None and "NOTFAANG" in issues_cell
+    styles = read_cell_styles(out, "organism")
+    assert styles[(2, headers.index("project"))] == STYLE_ERROR
