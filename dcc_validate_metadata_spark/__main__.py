@@ -124,7 +124,11 @@ def cmd_validate_workbook(args) -> int:
 
     from pyspark.sql import functions as F
 
-    from .rules.faang_schema import load_faang_ruleset, organism_ruleset
+    from .rules.faang_schema import (
+        chipseq_ruleset,
+        load_faang_ruleset,
+        organism_ruleset,
+    )
     from .sources.sheet_ingest import validate_workbook
     from .sources.xlsx import (
         read_workbook,
@@ -140,8 +144,18 @@ def cmd_validate_workbook(args) -> int:
             table=args.sheet or None,
             module_paths=args.module_schema or None,
         )
+    elif args.realm == "experiments":
+        # vendored experiments realm: ChIP-seq type + experiments core
+        # (the reference's ALLOWED_EXPERIMENTS_TYPES flow)
+        rs, spec = chipseq_ruleset()
     else:
         rs, spec = organism_ruleset()
+    # record-name column: experiments sheets key rows by the sample they
+    # describe (sample_descriptor), samples sheets by sample_name
+    name_field = args.name_field or (
+        "sample_descriptor" if args.realm == "experiments" else "sample_name"
+    )
+    args.name_field = name_field
     spec = dataclasses.replace(
         spec, type_fields=spec.type_fields + (args.name_field,)
     )
@@ -262,7 +276,16 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. PATO=/data/pato.parquet)",
     )
     w.add_argument("--sheet", default=None, help="validate only this sheet")
-    w.add_argument("--name-field", default="sample_name")
+    w.add_argument(
+        "--realm", choices=("samples", "experiments"), default="samples",
+        help="vendored ruleset realm when no --type-schema is given "
+        "(experiments = ChIP-seq type + experiments core)",
+    )
+    w.add_argument(
+        "--name-field", default=None,
+        help="record-name column (default: sample_name, or "
+        "sample_descriptor for --realm experiments)",
+    )
     w.set_defaults(fn=cmd_validate_workbook)
 
     args = p.parse_args(argv)

@@ -147,6 +147,97 @@ def fingerprint_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
 
 
+# per-worker-process model cache for model_text_stage: Python workers are
+# reused across tasks, so a model loaded under a cache_key survives for
+# the worker's lifetime — the fastText/tokenizers load cost is paid once
+# per executor core, not once per task/batch
+_WORKER_MODELS: dict = {}
+
+
+def model_text_stage(
+    df: DataFrame,
+    model_factory,
+    apply_fn,
+    output_schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The model slot: run an arbitrary Python model (fastText lang-id,
+    a `tokenizers` BPE, a quality classifier) over the text column as ONE
+    Arrow-batched ``mapInPandas`` projection — no shuffle, no driver
+    round-trip, executors stream record batches through the model.
+
+    * ``model_factory()`` builds/loads the model. It runs lazily on the
+      WORKER (never the driver, so a 1 GB model file never rides the
+      closure — load from executor-local storage inside the factory) and,
+      with ``cache_key`` set, at most once per worker process.
+    * ``apply_fn(model, pdf) -> pandas.DataFrame`` maps one input batch
+      (columns: id_col, text_col, *keep_cols) to output rows matching
+      ``output_schema``; batch sizes follow
+      ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    The heuristic stages (:func:`lang_id_df`,
+    :func:`bpe_ish_token_count_df`) stay the JVM-side default; this is
+    the documented swap-in point when a real model is required."""
+    cols = [id_col, text_col, *(keep_cols or [])]
+
+    def gen(batches):
+        model = None
+        for pdf in batches:
+            if model is None:
+                if cache_key is not None:
+                    model = _WORKER_MODELS.get(cache_key)
+                if model is None:
+                    model = model_factory()
+                    if cache_key is not None:
+                        _WORKER_MODELS[cache_key] = model
+            yield apply_fn(model, pdf)
+
+    return df.select(*cols).mapInPandas(gen, schema=output_schema)
+
+
+def model_lang_id_df(
+    df: DataFrame,
+    model_factory,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_key: str | None = "lang_id",
+) -> DataFrame:
+    """fastText-shaped lang-id through the model slot: the model object
+    must expose ``predict(list[str]) -> (labels, scores)`` (fastText's
+    batch API). Output matches :func:`lang_id_df`'s (doc_id, pred_lang,
+    en_score) so the heuristic and model paths are drop-in swappable."""
+    import pandas as pd
+
+    def apply_fn(model, pdf):
+        labels, scores = model.predict(pdf[text_col].fillna("").tolist())
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "pred_lang": [
+                    l[0].replace("__label__", "") if isinstance(l, (list, tuple)) else str(l).replace("__label__", "")
+                    for l in labels
+                ],
+                "en_score": [
+                    float(s[0]) if isinstance(s, (list, tuple)) else float(s)
+                    for s in scores
+                ],
+            }
+        )
+
+    return model_text_stage(
+        df,
+        model_factory,
+        apply_fn,
+        output_schema=f"{id_col} long, pred_lang string, en_score double",
+        id_col=id_col,
+        text_col=text_col,
+        cache_key=cache_key,
+    )
+
+
 def bigram_perplexity_df(
     df: DataFrame,
     id_col: str = "doc_id",

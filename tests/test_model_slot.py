@@ -1,0 +1,111 @@
+"""The mapInPandas model slot (VERDICT r2 item 7): an injectable model
+callable runs over Arrow batches with per-worker caching — demonstrated
+with a trivial fake model so the fastText/tokenizers swap-in claim is
+exercised, not asserted."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+from dcc_validate_metadata_spark.operators.text import (
+    model_lang_id_df,
+    model_text_stage,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _ship_test_module(spark):
+    # cloudpickle serializes module-level classes by reference; workers
+    # need this test module importable to rebuild the fake models —
+    # exactly how a real model wrapper module rides --py-files
+    spark.sparkContext.addPyFile(str(Path(__file__)))
+
+
+class FakeLangModel:
+    """fastText-shaped: predict(list[str]) -> (labels, scores)."""
+
+    def __init__(self, marker_dir: str | None = None):
+        if marker_dir:  # count constructions across worker processes
+            Path(marker_dir).mkdir(exist_ok=True)
+            (Path(marker_dir) / f"load-{os.getpid()}-{os.urandom(4).hex()}").touch()
+
+    def predict(self, texts):
+        labels = [
+            ["__label__en"] if len(t.split()) >= 3 else ["__label__und"]
+            for t in texts
+        ]
+        scores = [[min(1.0, len(t.split()) / 10.0)] for t in texts]
+        return labels, scores
+
+
+def test_model_lang_id_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    out = model_lang_id_df(docs, FakeLangModel, cache_key=None)
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert set(out.columns) == {"doc_id", "pred_lang", "en_score"}
+    assert {r["pred_lang"] for r in rows} <= {"en", "und"}
+    assert all(0.0 <= r["en_score"] <= 1.0 for r in rows)
+    # deterministic: same fake model, same verdicts
+    again = {r["doc_id"]: r["pred_lang"] for r in model_lang_id_df(
+        docs, FakeLangModel, cache_key=None).collect()}
+    assert again == {r["doc_id"]: r["pred_lang"] for r in rows}
+
+
+def test_model_factory_loads_once_per_worker(spark, tmp_path):
+    marker = str(tmp_path / "loads")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
+
+    def factory():
+        return FakeLangModel(marker)
+
+    out = model_lang_id_df(docs, factory, cache_key="test-lang-model")
+    n = out.count()
+    assert n > 0
+    loads = len(list(Path(marker).glob("load-*")))
+    # lazy worker-side init: loaded at least once, never more than once
+    # per task (8 partitions), and never on the driver
+    assert 1 <= loads <= 8
+    # second pass reuses cached models in reused workers: load count
+    # grows by at most the number of NEW worker processes
+    out2 = model_lang_id_df(docs, factory, cache_key="test-lang-model")
+    out2.count()
+    loads2 = len(list(Path(marker).glob("load-*")))
+    assert loads2 <= loads + 8
+
+
+def test_generic_stage_custom_schema(spark):
+    """tokenizers-shaped usage: custom apply_fn + output schema (token
+    count via a fake BPE encoder)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    class FakeBPE:
+        def encode_batch(self, texts):
+            return [t.split() for t in texts]
+
+    def apply_fn(model, pdf):
+        encs = model.encode_batch(pdf["text"].fillna("").tolist())
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "n_model_tokens": [len(e) for e in encs]}
+        )
+
+    out = model_text_stage(
+        docs,
+        FakeBPE,
+        apply_fn,
+        output_schema="doc_id long, n_model_tokens long",
+    )
+    got = {r["doc_id"]: r["n_model_tokens"] for r in out.collect()}
+    expect = {
+        r["doc_id"]: len(r["text"].split()) if r["text"] else 0
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == expect
