@@ -96,6 +96,7 @@ def main() -> None:
         "o3_window_topn": R.o3_window_topn,
         "w1_running_sum": R.w1_running_sum,
         "dd_minhash_lsh": TD.dd_minhash_lsh,
+        "dd_duplicate_clusters": TD.dd_duplicate_clusters,
         "dd_simhash_banded": bench_simhash_banded,
         "dd_embedding_lsh": lambda s, d: D.embedding_cosine_pairs_lsh(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5

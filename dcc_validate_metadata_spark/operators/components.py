@@ -98,26 +98,26 @@ def connected_components(
             pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .persist()
     )
-    n_edges = edges.count()  # materializes the cache the loop reuses anyway
-    if n_edges <= local_threshold:
-        try:
-            from pyspark.sql import types as T
+    # ONE action probes the gate AND fetches the edges: collect through a
+    # threshold+1 limit — if nothing was truncated the graph is local-
+    # sized and already in hand (no separate count pass over the pair
+    # lineage); a truncated result is discarded and the distributed path
+    # recomputes (rare by construction: only when >2M near-dup pairs)
+    head = edges.limit(local_threshold + 1).collect()
+    if len(head) <= local_threshold:
+        from pyspark.sql import types as T
 
-            id_type = edges.schema["a"].dataType
-            # collect, not toLocalIterator: one job instead of one per
-            # partition; the gate bounds the transfer to tens of MB
-            rows = _local_components(edges.collect())
-            schema = T.StructType(
-                [
-                    T.StructField("id", id_type, False),
-                    T.StructField("component", id_type, False),
-                ]
-            )
-            return pairs.sparkSession.createDataFrame(rows, schema)
-        finally:
-            edges.unpersist()
+        id_type = edges.schema["a"].dataType
+        rows = _local_components(head)
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type, False),
+                T.StructField("component", id_type, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema)
+    edges = edges.persist()
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()

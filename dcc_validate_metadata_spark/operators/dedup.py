@@ -178,16 +178,23 @@ def minhash_dedup_pairs(
         sig.drop("n"), num_hashes, band_rows
     )
     # verify ONLY candidate pairs: semi-join prune both shingle sides;
-    # per-doc shingle counts ride along with the signatures (no rescan)
+    # per-doc shingle counts ride along with the signatures (no rescan).
+    # The equality join runs on the 48-bit shingle hash, not the raw
+    # n-gram string — a long join key shuffles a fraction of the bytes of
+    # a ~20-char string at 10^12 scale, and the DuckDB oracle computes
+    # the IDENTICAL md5-derived h1 so any (vanishingly rare, ~2^-49)
+    # collision affects both engines the same way
+    md5 = F.md5(F.col("s"))
+    sh_h = sh.select("id", F.conv(F.substring(md5, 1, 12), 16, 10).cast("long").alias("h"))
     sizes = sig.select("id", "n")
-    a = sh.join(cand.select(F.col("id_a").alias("id")).distinct(), "id").select(
-        F.col("id").alias("id_a"), "s"
+    a = sh_h.join(cand.select(F.col("id_a").alias("id")).distinct(), "id").select(
+        F.col("id").alias("id_a"), "h"
     )
-    b = sh.join(cand.select(F.col("id_b").alias("id")).distinct(), "id").select(
-        F.col("id").alias("id_b"), "s"
+    b = sh_h.join(cand.select(F.col("id_b").alias("id")).distinct(), "id").select(
+        F.col("id").alias("id_b"), "h"
     )
     common = (
-        a.join(b, on="s")
+        a.join(b, on="h")
         .join(cand, on=["id_a", "id_b"])  # only LSH-candidate pairs
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -143,10 +143,12 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ),
 common AS (
+  -- verification joins on the SAME 48-bit md5-derived h1 the engine
+  -- uses, so hash-collision behavior is bit-identical on both sides
   SELECT c.id_a, c.id_b, count(*) AS n_common
   FROM cand c
-  JOIN sh sa ON sa.id = c.id_a
-  JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
+  JOIN base_h sa ON sa.id = c.id_a
+  JOIN base_h sb ON sb.id = c.id_b AND sb.h1 = sa.h1
   GROUP BY 1, 2
 ),
 verified AS (
