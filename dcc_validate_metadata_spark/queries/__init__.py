@@ -28,6 +28,7 @@ MUST_PROVE = [
     "s9c_ena_experiment_xml",
     "s9d_ena_study_xml",
     "s9e_ena_analysis_xml",
+    "s9f_ena_submission_xml",
     "av_audio_features",
     "txt_token_counts",
     "txt_quality",

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 FIXTURE_ROWS = 1010
 FIXTURE_BUCKETS = 4
 FIXTURE_SEED = 42
-FIXTURE_VERSION = 4  # bump when fixture contents change (forces a rebuild)
+FIXTURE_VERSION = 5  # bump when fixture contents change (forces a rebuild)
 FIX_DIR = Path(
     f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}"
     f"_v{FIXTURE_VERSION}"
@@ -509,6 +509,8 @@ def _write_ena_fixture(out_dir: Path) -> None:
                 ),
                 "platform": plat,
                 "instrument_model": model,
+                "secondary_project": None if i % 4 else "AQUA-FAANG",
+                "experimental_protocol": f"https://data.faang.org/protocol/exp_{i % 3}.pdf",
             }
         )
     runs = []
@@ -1358,12 +1360,16 @@ ORDER BY alias
 
 def s9c_ena_experiment_xml(spark, sf_dir):
     """S9c: ENA <EXPERIMENT> docs — DESIGN/LIBRARY_DESCRIPTOR with the
-    SINGLE|PAIRED layout branch, optional library name/protocol, and the
-    platform-named PLATFORM child element."""
+    SINGLE|PAIRED layout branch, optional library name/protocol, the
+    platform-named PLATFORM child element, and the FAANG
+    EXPERIMENT_ATTRIBUTES section (null-skipped TAG/VALUE entries)."""
     from ..sources.submission_sinks import ena_experiment_xml
 
     ensure_fixture()
-    return ena_experiment_xml(spark.read.parquet(_ENA_EXP)).orderBy("alias")
+    return ena_experiment_xml(
+        spark.read.parquet(_ENA_EXP),
+        attribute_cols=["secondary_project", "experimental_protocol"],
+    ).orderBy("alias")
 
 
 S9C_ENA_EXP_SQL = f"""
@@ -1389,8 +1395,44 @@ SELECT experiment_alias AS alias,
           ELSE '' END
   || '</LIBRARY_DESCRIPTOR></DESIGN><PLATFORM><' || platform
   || '><INSTRUMENT_MODEL>' || instrument_model || '</INSTRUMENT_MODEL></'
-  || platform || '></PLATFORM></EXPERIMENT>' AS xml
+  || platform || '></PLATFORM>'
+  || '<EXPERIMENT_ATTRIBUTES>'
+  || CASE WHEN secondary_project IS NOT NULL
+          THEN '<EXPERIMENT_ATTRIBUTE><TAG>secondary_project</TAG><VALUE>'
+               || secondary_project || '</VALUE></EXPERIMENT_ATTRIBUTE>'
+          ELSE '' END
+  || CASE WHEN experimental_protocol IS NOT NULL
+          THEN '<EXPERIMENT_ATTRIBUTE><TAG>experimental_protocol</TAG><VALUE>'
+               || experimental_protocol || '</VALUE></EXPERIMENT_ATTRIBUTE>'
+          ELSE '' END
+  || '</EXPERIMENT_ATTRIBUTES></EXPERIMENT>' AS xml
 FROM read_parquet('{_ENA_EXP}')
+ORDER BY alias
+"""
+
+
+def s9f_ena_submission_xml(spark, sf_dir):
+    """S9f: ENA <SUBMISSION> wrapper docs — ACTIONS(ADD, HOLD
+    [HoldUntilDate] | RELEASE); hold date column null → RELEASE branch
+    (FileConverter.generate_submission_xml's private/public split)."""
+    from ..sources.submission_sinks import ena_submission_xml
+
+    ensure_fixture()
+    df = spark.read.parquet(_ENA_RUN).select(
+        F.col("run_alias").alias("alias"), F.col("run_date").alias("hold")
+    )
+    return ena_submission_xml(df, hold_until_col="hold").orderBy("alias")
+
+
+S9F_ENA_SUB_SQL = f"""
+SELECT run_alias AS alias,
+  '<SUBMISSION alias="' || run_alias
+  || '"><ACTIONS><ACTION><ADD/></ACTION>'
+  || CASE WHEN run_date IS NOT NULL
+          THEN '<ACTION><HOLD HoldUntilDate="' || run_date || '"/></ACTION>'
+          ELSE '<ACTION><RELEASE/></ACTION>' END
+  || '</ACTIONS></SUBMISSION>' AS xml
+FROM read_parquet('{_ENA_RUN}')
 ORDER BY alias
 """
 
@@ -1557,6 +1599,7 @@ QUERIES = {
     "s9c_ena_experiment_xml": (s9c_ena_experiment_xml, S9C_ENA_EXP_SQL),
     "s9d_ena_study_xml": (s9d_ena_study_xml, S9D_ENA_STD_SQL),
     "s9e_ena_analysis_xml": (s9e_ena_analysis_xml, S9E_ENA_AN_SQL),
+    "s9f_ena_submission_xml": (s9f_ena_submission_xml, S9F_ENA_SUB_SQL),
     "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
     "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
     "samples_label_match": (samples_label_match, LABEL_MATCH_SQL),

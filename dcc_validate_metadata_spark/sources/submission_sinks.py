@@ -210,7 +210,9 @@ def _opt_elt(col: str, open_tag: str, close_tag: str) -> Column:
     ).otherwise(F.lit(""))
 
 
-def ena_experiment_xml(df: DataFrame) -> DataFrame:
+def ena_experiment_xml(
+    df: DataFrame, attribute_cols: list[str] | None = None
+) -> DataFrame:
     """(alias, xml) — one ENA ``<EXPERIMENT>`` document per record.
 
     Element sequence mirrors the reference's experiment converter
@@ -220,7 +222,10 @@ def ena_experiment_xml(df: DataFrame) -> DataFrame:
     [refname], LIBRARY_DESCRIPTOR(LIBRARY_NAME, LIBRARY_STRATEGY,
     LIBRARY_SOURCE, LIBRARY_SELECTION, LIBRARY_LAYOUT(SINGLE |
     PAIRED[NOMINAL_LENGTH]), LIBRARY_CONSTRUCTION_PROTOCOL)) →
-    PLATFORM({platform}(INSTRUMENT_MODEL)). Whole-column concat; no UDF.
+    PLATFORM({platform}(INSTRUMENT_MODEL)) → EXPERIMENT_ATTRIBUTES
+    (EXPERIMENT_ATTRIBUTE(TAG, VALUE) per non-null ``attribute_cols``
+    entry — the converter's FAANG-experiment-record attribute section).
+    Whole-column concat; no UDF.
     """
     layout = F.when(
         F.col("library_layout") == "PAIRED",
@@ -262,7 +267,27 @@ def ena_experiment_xml(df: DataFrame) -> DataFrame:
         xml_escape(F.col("instrument_model")),
         F.lit("</INSTRUMENT_MODEL></"),
         F.col("platform"),
-        F.lit("></PLATFORM></EXPERIMENT>"),
+        F.lit("></PLATFORM>"),
+        *(
+            [
+                F.lit("<EXPERIMENT_ATTRIBUTES>"),
+                *[
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.concat(
+                            F.lit(f"<EXPERIMENT_ATTRIBUTE><TAG>{c}</TAG><VALUE>"),
+                            xml_escape(F.col(c)),
+                            F.lit("</VALUE></EXPERIMENT_ATTRIBUTE>"),
+                        ),
+                    ).otherwise(F.lit(""))
+                    for c in attribute_cols
+                ],
+                F.lit("</EXPERIMENT_ATTRIBUTES>"),
+            ]
+            if attribute_cols
+            else []
+        ),
+        F.lit("</EXPERIMENT>"),
     )
     return df.select(F.col("experiment_alias").alias("alias"), xml.alias("xml"))
 

@@ -199,3 +199,32 @@ def test_connected_components_chain_and_clusters(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(long_chain, max_iter=2, local_threshold=0)
+
+
+def test_connected_components_paths_agree_random_graph(spark):
+    """Local union-find and distributed label propagation compute the
+    same fixpoint on a seeded random graph mixing chains, cliques and
+    singleton pairs (deeper than the hand-built cases)."""
+    import random
+
+    from dcc_validate_metadata_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    for base in range(0, 120, 12):  # ten 8-node chains (diameter 7)
+        edges += [(base + i, base + i + 1) for i in range(7)]
+    edges += [(200 + a, 200 + b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(30)]
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    local = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, local_threshold=0, max_iter=30
+        ).collect()
+    }
+    assert dist == local and len(local) > 80

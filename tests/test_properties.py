@@ -152,3 +152,52 @@ def test_wav_roundtrip_property(n, seed, sr):
     back, got_sr, nch = decode_pcm_wav(encode_pcm_wav(sig, sr))
     assert got_sr == sr and nch == 1 and len(back) == n
     assert np.abs(back - sig).max() <= 1.0 / 32767 + 1e-6  # quantization bound
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=0,
+        max_size=120,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_union_find_matches_bfs_reference(edges):
+    """The gated local path's union-find agrees with a plain BFS
+    reachability reference on arbitrary graphs (self-loops, duplicate
+    edges, disconnected nodes) — component id = min reachable node."""
+    from collections import defaultdict, deque
+
+    from dcc_validate_metadata_spark.operators.components import (
+        _local_components,
+    )
+
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    got = dict(_local_components(sorted(sym)))
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in sym:
+        adj[a].add(b)
+        nodes.update((a, b))
+    expect = {}
+    seen: set = set()
+    for start in nodes:
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            u = q.popleft()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        m = min(comp)
+        for u in comp:
+            expect[u] = m
+    assert got == expect
