@@ -264,6 +264,51 @@ ORDER BY doc_id LIMIT 200
 """
 
 
+_MM_TERMS = ("spark", "window", "shuffle")
+
+
+def p7b_multimatch_analyzed(spark, sf_dir):
+    """P7b: ES ``multi_match`` with standard-analyzer semantics — the
+    documented P7 gap closed to analyzer level: both fields are tokenized
+    (lowercase, split on non-alphanumeric — the standard analyzer's
+    letter/digit segmentation), the query is OR-of-terms, and docs rank
+    by a deterministic coord score (matched-term count, best_fields max
+    over text/source). BM25's corpus-frequency weighting is the remaining
+    declared delta (needs corpus stats; nondeterministic across shard
+    layouts in ES itself)."""
+    d = _t(spark, sf_dir, "documents")
+
+    def coord(col):
+        tok = F.split(F.lower(col), "[^a-z0-9]+")
+        s = F.lit(0)
+        for t in _MM_TERMS:
+            s = s + F.array_contains(tok, t).cast("int")
+        return s
+
+    score = F.greatest(coord(F.col("text")), coord(F.col("source")))
+    return (
+        d.select("doc_id", score.alias("score"))
+        .filter(F.col("score") >= 1)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+_MM_COORD = lambda fld: " + ".join(  # noqa: E731
+    f"list_contains(regexp_split_to_array(lower({fld}), '[^a-z0-9]+'), '{t}')::INT"
+    for t in ("spark", "window", "shuffle")
+)
+
+P7B_SQL = f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         greatest(({_MM_COORD('text')}), ({_MM_COORD('source')})) AS score
+  FROM documents
+) WHERE score >= 1
+ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 def p9_id_lookup(spark, sf_dir):
     """P9: point lookup by id."""
     return (
@@ -943,6 +988,7 @@ QUERIES = {
     "p5_array_predicate": (p5_array_predicate, P5_SQL),
     "p6_wildcard_like": (p6_wildcard_like, P6_SQL),
     "p7_multimatch": (p7_multimatch, P7_SQL),
+    "p7b_multimatch_analyzed": (p7b_multimatch_analyzed, P7B_SQL),
     "p9_id_lookup": (p9_id_lookup, P9_SQL),
     "p10_safe_name": (p10_safe_name, P10_SQL),
     "p11_record_name": (p11_record_name, P11_SQL),
