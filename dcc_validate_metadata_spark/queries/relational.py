@@ -309,6 +309,87 @@ ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def p7c_multimatch_bm25(spark, sf_dir):
+    """P7c: the FULL ES `match` scoring — Lucene BM25 (k1=1.2, b=0.75,
+    idf = ln(1 + (N-df+0.5)/(df+0.5))) computed from corpus statistics in
+    pure relational algebra, eliminating P7's last declared delta for
+    batch scoring. One tokenize-explode pass feeds (a) per-doc length,
+    (b) per-(doc, query-term) tf — the explode is FILTERED to the query
+    terms before the tf aggregation, so the shuffle carries only matching
+    postings (O(matching tokens), not O(corpus tokens)); N/avgdl and the
+    3-row df table broadcast. Scores rounded to 4 dp on both engines so
+    ln/division ulp differences cannot flip the ordering."""
+    from ..operators.dedup import round4
+
+    d = _t(spark, sf_dir, "documents")
+    terms = list(_MM_TERMS)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("t"),
+    ).filter(F.col("t") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = tok.filter(F.col("t").isin(terms))
+    tf = hits.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = hits.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(round4(F.sum("s")).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(100)
+
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in ("spark", "window", "shuffle"))
+
+P7C_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+terms(t) AS (VALUES {_BM25_TERMS_SQL}),
+hits AS (SELECT doc_id, tok.t FROM tok JOIN terms ON terms.t = tok.t),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY doc_id, t),
+df_t AS (SELECT t, count(DISTINCT doc_id) AS df FROM hits GROUP BY t)
+SELECT doc_id,
+       floor(sum(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({BM25_K1} + 1))
+         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+       ) * 10000.0 + 0.5) / 10000.0 AS score
+FROM tf JOIN df_t USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+GROUP BY doc_id, n_docs, avgdl
+ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 def p9_id_lookup(spark, sf_dir):
     """P9: point lookup by id."""
     return (
@@ -989,6 +1070,7 @@ QUERIES = {
     "p6_wildcard_like": (p6_wildcard_like, P6_SQL),
     "p7_multimatch": (p7_multimatch, P7_SQL),
     "p7b_multimatch_analyzed": (p7b_multimatch_analyzed, P7B_SQL),
+    "p7c_multimatch_bm25": (p7c_multimatch_bm25, P7C_SQL),
     "p9_id_lookup": (p9_id_lookup, P9_SQL),
     "p10_safe_name": (p10_safe_name, P10_SQL),
     "p11_record_name": (p11_record_name, P11_SQL),
