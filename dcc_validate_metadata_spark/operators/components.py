@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-LOCAL_EDGE_THRESHOLD = 2_000_000
+LOCAL_EDGE_THRESHOLD = 500_000
 
 
 def _local_components(edge_rows) -> list[tuple]:
@@ -78,10 +78,13 @@ def connected_components(
     job over the already-persisted edge table, which the iterative path
     would have to materialize anyway) routes:
 
-    * ``edges ≤ local_threshold`` (default 2M — tens of MB): collect the
-      edge list and run union-find with path compression; exact, one
-      pass, no per-round join/shuffle/action overhead. The collect is
-      GATE-BOUNDED, never O(corpus).
+    * ``edges ≤ local_threshold`` (default 500k symmetric edges ≈
+      100-200 MB of driver-side Row/dict objects — sized for a
+      16 GB driver with ample headroom, same order as the uniqueness
+      gate's dup-table bound): collect the edge list and run union-find
+      with path compression; exact, one pass, no per-round
+      join/shuffle/action overhead. The collect is GATE-BOUNDED, never
+      O(corpus).
     * larger graphs: distributed iterative min-label propagation, with
       the label table ``localCheckpoint``-ed every ``probe_every`` rounds
       — materializing it AND truncating lineage so the physical plan

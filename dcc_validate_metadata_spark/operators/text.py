@@ -203,12 +203,18 @@ def model_lang_id_df(
     model_factory,
     id_col: str = "doc_id",
     text_col: str = "text",
-    cache_key: str | None = "lang_id",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """fastText-shaped lang-id through the model slot: the model object
     must expose ``predict(list[str]) -> (labels, scores)`` (fastText's
     batch API). Output matches :func:`lang_id_df`'s (doc_id, pred_lang,
-    en_score) so the heuristic and model paths are drop-in swappable."""
+    en_score) so the heuristic and model paths are drop-in swappable.
+
+    ``cache_key`` defaults to None (no cross-job caching): a shared
+    default key would make two DIFFERENT lang-id models in one Spark
+    application silently reuse whichever model a warm worker cached
+    first. Pass a key that identifies the model (e.g. its path) to get
+    once-per-worker loading."""
     import pandas as pd
 
     def apply_fn(model, pdf):

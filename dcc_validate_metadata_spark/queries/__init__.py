@@ -29,6 +29,8 @@ MUST_PROVE = [
     "s9d_ena_study_xml",
     "s9e_ena_analysis_xml",
     "s9f_ena_submission_xml",
+    "p7b_multimatch_analyzed",
+    "p7c_multimatch_bm25",
     "av_audio_features",
     "txt_token_counts",
     "txt_quality",

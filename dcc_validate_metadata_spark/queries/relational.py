@@ -342,12 +342,13 @@ def p7c_multimatch_bm25(spark, sf_dir):
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    scored = (
+    per_term = (
         tf.join(F.broadcast(df_t), "t")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
+            "t",
             (
                 idf
                 * (F.col("tf") * (BM25_K1 + 1))
@@ -358,9 +359,22 @@ def p7c_multimatch_bm25(spark, sf_dir):
                 )
             ).alias("s"),
         )
-        .groupBy("doc_id")
-        .agg(round4(F.sum("s")).alias("score"))
     )
+    # pivot to one column per query term, then add in FIXED term order:
+    # a bare sum() would add the ≤3 doubles in partial-aggregation order,
+    # and a 1-ulp difference vs the oracle's order could flip round4 at a
+    # .00005 boundary — fixed-order addition is bit-identical on both
+    # engines
+    pivoted = per_term.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("s"))).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    scored = pivoted.select("doc_id", round4(total).alias("score"))
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(100)
 
 
@@ -379,13 +393,20 @@ hits AS (SELECT doc_id, tok.t FROM tok JOIN terms ON terms.t = tok.t),
 tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY doc_id, t),
 df_t AS (SELECT t, count(DISTINCT doc_id) AS df FROM hits GROUP BY t)
 SELECT doc_id,
-       floor(sum(
+       floor((
+         0.0
+         + coalesce(max(CASE WHEN t = 'spark' THEN s END), 0.0)
+         + coalesce(max(CASE WHEN t = 'window' THEN s END), 0.0)
+         + coalesce(max(CASE WHEN t = 'shuffle' THEN s END), 0.0)
+       ) * 10000.0 + 0.5) / 10000.0 AS score
+FROM (
+  SELECT doc_id, t,
          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
          * (tf * ({BM25_K1} + 1))
-         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
-       ) * 10000.0 + 0.5) / 10000.0 AS score
-FROM tf JOIN df_t USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
-GROUP BY doc_id, n_docs, avgdl
+         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)) AS s
+  FROM tf JOIN df_t USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 100
 """
 
@@ -1058,6 +1079,12 @@ GROUP BY 1 ORDER BY 1
 
 
 QUERIES = {
+    # round-3 additions FIRST: the driver's CORRECTNESS gate records only
+    # the first ~50 of all_queries() (validationpack + trainingdata fill
+    # 40 slots), so the relational entries with no driver-green history
+    # must precede the ones the gate already proved in rounds 1-2
+    "p7b_multimatch_analyzed": (p7b_multimatch_analyzed, P7B_SQL),
+    "p7c_multimatch_bm25": (p7c_multimatch_bm25, P7C_SQL),
     "a1_terms_top": (a1_terms_top, A1_SQL),
     "a2_json_agg": (a2_json_agg, A2_SQL),
     "a3_null_counts": (a3_null_counts, A3_SQL),
@@ -1069,8 +1096,6 @@ QUERIES = {
     "p5_array_predicate": (p5_array_predicate, P5_SQL),
     "p6_wildcard_like": (p6_wildcard_like, P6_SQL),
     "p7_multimatch": (p7_multimatch, P7_SQL),
-    "p7b_multimatch_analyzed": (p7b_multimatch_analyzed, P7B_SQL),
-    "p7c_multimatch_bm25": (p7c_multimatch_bm25, P7C_SQL),
     "p9_id_lookup": (p9_id_lookup, P9_SQL),
     "p10_safe_name": (p10_safe_name, P10_SQL),
     "p11_record_name": (p11_record_name, P11_SQL),

@@ -95,22 +95,27 @@ def ensure_fixture() -> Path:
         _write_ena_fixture(tmp)
         _refresh_lock()
         (tmp / _MARKER).touch()
-        if marker.exists():
-            # lost a finish race (a waiter broke our lock and completed a
-            # rebuild): the complete fixture in place wins — never rmtree
-            # a directory another process may already be reading
-            shutil.rmtree(tmp, ignore_errors=True)
-            return FIX_DIR
-        shutil.rmtree(FIX_DIR, ignore_errors=True)  # stale pre-marker partial
-        try:
-            os.rename(tmp, FIX_DIR)
-        except OSError:
-            # lost a finish race (our stale lock was broken by a waiter
-            # that rebuilt concurrently): if a COMPLETE fixture landed,
-            # that's success — only surface the error otherwise
-            if not marker.exists():
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+        # Finish protocol: rename FIRST, never rmtree-then-rename — a
+        # check-then-delete window would let this builder destroy a
+        # complete fixture a lock-breaking waiter renamed into place a
+        # microsecond after the check. rename is atomic; it fails iff
+        # FIX_DIR already exists, and then the marker decides: marker →
+        # a complete fixture won the race (success, discard ours);
+        # no marker → a legacy partial from a pre-protocol crash — safe
+        # to remove because nothing reads a marker-less dir (readers
+        # gate on the marker), then retry once.
+        for attempt in (0, 1):
+            try:
+                os.rename(tmp, FIX_DIR)
+                break
+            except OSError:
+                if marker.exists():
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    break
+                if attempt == 0:
+                    shutil.rmtree(FIX_DIR, ignore_errors=True)
+                else:
+                    raise
     finally:
         if fd is not None:
             os.close(fd)
@@ -1339,6 +1344,8 @@ SELECT run_alias AS alias,
   || CASE WHEN run_center IS NOT NULL
           THEN ' run_center="' || run_center || '"' ELSE '' END
   || CASE WHEN run_date IS NOT NULL
+             AND coalesce(try_strptime(run_date, '%Y-%m-%d'),
+                          try_strptime(run_date, '%Y-%m')) IS NOT NULL
           THEN ' run_date="' || strftime(
                  coalesce(try_strptime(run_date, '%Y-%m-%d'),
                           try_strptime(run_date, '%Y-%m')),
@@ -1385,9 +1392,11 @@ SELECT experiment_alias AS alias,
   || '<LIBRARY_STRATEGY>' || library_strategy || '</LIBRARY_STRATEGY>'
   || '<LIBRARY_SOURCE>' || library_source || '</LIBRARY_SOURCE>'
   || '<LIBRARY_SELECTION>' || library_selection || '</LIBRARY_SELECTION>'
-  || CASE WHEN library_layout = 'PAIRED'
+  || CASE WHEN library_layout = 'PAIRED' AND nominal_length IS NOT NULL
           THEN '<LIBRARY_LAYOUT><PAIRED NOMINAL_LENGTH="' || nominal_length::BIGINT
                || '"/></LIBRARY_LAYOUT>'
+          WHEN library_layout = 'PAIRED'
+          THEN '<LIBRARY_LAYOUT><PAIRED/></LIBRARY_LAYOUT>'
           ELSE '<LIBRARY_LAYOUT><SINGLE/></LIBRARY_LAYOUT>' END
   || CASE WHEN library_construction_protocol IS NOT NULL
           THEN '<LIBRARY_CONSTRUCTION_PROTOCOL>' || library_construction_protocol

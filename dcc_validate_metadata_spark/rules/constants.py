@@ -52,5 +52,7 @@ SAFE_NAME_PATTERN = r"^[A-Za-z0-9._-]+$"
 # JSON-grammar-ish decimal accepted by the numeric rule — shared by the
 # compiler (Spark rlike) and the independent golden (Python re) so the
 # two can never diverge at dialect edges ('1_000', 'inf', 'Infinity',
-# 'NaN' are all rejected by both)
-NUMBER_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+# 'NaN' are all rejected by both). [0-9], NOT \d: Python re's \d matches
+# Unicode digits (e.g. Arabic-Indic '٤٢') while Java's is ASCII-only —
+# the explicit class pins both engines to ASCII
+NUMBER_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"

@@ -15,6 +15,15 @@ foreachPartition POST) can consume the result.
 Both builders emit the document text deterministically (fixed key order,
 explicit escaping) so goldens and the DuckDB oracle can reproduce the
 exact bytes with plain string concatenation.
+
+Input contract: these are POST-VALIDATION sinks — mandatory scalar
+columns (aliases, titles, refs, platform, analysis arrays) are expected
+non-null because the rule layer rejects such rows first; a null there
+null-propagates that one document through ``concat`` (it does NOT crash
+the job). Data-dependent optionality is handled explicitly: optional
+elements/attributes are guarded with ``F.when(isNotNull…)``, an
+unparseable run_date omits the attribute, and PAIRED layouts without a
+nominal length emit ``<PAIRED/>``.
 """
 
 from __future__ import annotations
@@ -227,14 +236,25 @@ def ena_experiment_xml(
     entry — the converter's FAANG-experiment-record attribute section).
     Whole-column concat; no UDF.
     """
-    layout = F.when(
-        F.col("library_layout") == "PAIRED",
-        F.concat(
-            F.lit('<LIBRARY_LAYOUT><PAIRED NOMINAL_LENGTH="'),
-            F.col("nominal_length").cast("bigint").cast("string"),
-            F.lit('"/></LIBRARY_LAYOUT>'),
-        ),
-    ).otherwise(F.lit("<LIBRARY_LAYOUT><SINGLE/></LIBRARY_LAYOUT>"))
+    layout = (
+        F.when(
+            (F.col("library_layout") == "PAIRED")
+            & F.col("nominal_length").isNotNull(),
+            F.concat(
+                F.lit('<LIBRARY_LAYOUT><PAIRED NOMINAL_LENGTH="'),
+                F.col("nominal_length").cast("bigint").cast("string"),
+                F.lit('"/></LIBRARY_LAYOUT>'),
+            ),
+        )
+        # PAIRED with no nominal length: attribute omitted (the
+        # reference's check_field_existence guard), never a NULL that
+        # would null-propagate through the whole document concat
+        .when(
+            F.col("library_layout") == "PAIRED",
+            F.lit("<LIBRARY_LAYOUT><PAIRED/></LIBRARY_LAYOUT>"),
+        )
+        .otherwise(F.lit("<LIBRARY_LAYOUT><SINGLE/></LIBRARY_LAYOUT>"))
+    )
     xml = F.concat(
         F.lit('<EXPERIMENT alias="'),
         xml_escape_attr(F.col("experiment_alias")),
@@ -329,9 +349,15 @@ def ena_run_xml(df: DataFrame) -> DataFrame:
             F.lit(' run_center="'), xml_escape_attr(F.col("run_center")), F.lit('"')
         ),
     ).otherwise(F.lit(""))
+    # the attribute is emitted only when the strptime ladder PARSES the
+    # value — an unparseable run_date (e.g. '2024/01/01') omits the
+    # attribute instead of null-propagating the entire <RUN> document
+    # through concat (upstream date rules flag the bad value; the sink
+    # must stay total)
+    parsed_date = _iso_run_date(F.col("run_date"))
     date = F.when(
-        F.col("run_date").isNotNull(),
-        F.concat(F.lit(' run_date="'), _iso_run_date(F.col("run_date")), F.lit('"')),
+        F.col("run_date").isNotNull() & parsed_date.isNotNull(),
+        F.concat(F.lit(' run_date="'), parsed_date, F.lit('"')),
     ).otherwise(F.lit(""))
     pair = F.when(
         F.col("filename_pair").isNotNull(),
