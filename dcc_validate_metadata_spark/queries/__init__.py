@@ -31,6 +31,8 @@ MUST_PROVE = [
     "s9f_ena_submission_xml",
     "p7b_multimatch_analyzed",
     "p7c_multimatch_bm25",
+    "w2_sessionization",
+    "txt_filter_pipeline",
     "av_audio_features",
     "txt_token_counts",
     "txt_quality",

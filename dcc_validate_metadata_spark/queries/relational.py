@@ -680,6 +680,58 @@ FROM events WHERE user_id < 5 ORDER BY user_id, event_id
 """
 
 
+def w2_sessionization(spark, sf_dir):
+    """W2: event-time sessionization with Spark's native
+    ``session_window`` (30-min inactivity gap) — the batch form of the
+    streaming stateful-session operator, so the same groupBy works under
+    readStream with a watermark. The value sum goes through an exact
+    DECIMAL (order-independent) and converts to double at the end, so
+    per-session float totals cannot drift with aggregation order vs the
+    oracle's gaps-and-islands reconstruction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+W2_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------- set ops
 
 def u1_union_fanout(spark, sf_dir):
@@ -1085,6 +1137,7 @@ QUERIES = {
     # must precede the ones the gate already proved in rounds 1-2
     "p7b_multimatch_analyzed": (p7b_multimatch_analyzed, P7B_SQL),
     "p7c_multimatch_bm25": (p7c_multimatch_bm25, P7C_SQL),
+    "w2_sessionization": (w2_sessionization, W2_SQL),
     "a1_terms_top": (a1_terms_top, A1_SQL),
     "a2_json_agg": (a2_json_agg, A2_SQL),
     "a3_null_counts": (a3_null_counts, A3_SQL),

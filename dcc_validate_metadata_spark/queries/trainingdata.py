@@ -538,7 +538,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+# thresholds chosen to split the synthetic corpus both ways (quality
+# median ~0.76, ppl median ~29.6, top-bigram ratio median ~0.07)
+FILTER_MIN_QUALITY = 0.6
+FILTER_MAX_PPL = 31.0
+FILTER_MAX_DUP_LINE_CHAR = 0.3
+FILTER_MAX_TOP_NGRAM_CHAR = 0.12
+
+
+def txt_filter_pipeline(spark, sf_dir):
+    """The composed CCNet/Gopher-style keep/drop decision: quality score,
+    bigram-LM perplexity and repetition signals joined per document into
+    one verdict row with machine-readable drop reasons — the end-to-end
+    filter a training-data pipeline actually applies before dedup. Three
+    shuffles total (one per signal family's aggregation) + one join on
+    doc_id; the signals are the already-oracled operators composed, so
+    the whole pipeline stays hash-exact."""
+    docs = _docs(spark, sf_dir)
+    q = X.quality_df(docs).select("doc_id", "quality")
+    p = X.bigram_perplexity_df(docs).withColumnRenamed("id", "doc_id").select(
+        "doc_id", "perplexity"
+    )
+    r = X.repetition_df(docs).withColumnRenamed("id", "doc_id")
+    j = q.join(p, "doc_id").join(r, "doc_id")
+    fail_q = F.col("quality") < FILTER_MIN_QUALITY
+    fail_p = F.col("perplexity") > FILTER_MAX_PPL
+    fail_d = F.col("dup_line_char_ratio") > FILTER_MAX_DUP_LINE_CHAR
+    fail_n = F.col("top_ngram_char_ratio") > FILTER_MAX_TOP_NGRAM_CHAR
+    return (
+        j.select(
+            "doc_id",
+            "quality",
+            "perplexity",
+            "top_ngram_char_ratio",
+            (~fail_q & ~fail_p & ~fail_d & ~fail_n).alias("keep"),
+            F.concat_ws(
+                ",",
+                F.when(fail_q, F.lit("low_quality")),
+                F.when(fail_p, F.lit("high_perplexity")),
+                F.when(fail_d, F.lit("dup_lines")),
+                F.when(fail_n, F.lit("repetitive_ngrams")),
+            ).alias("drop_reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _filter_pipeline_sql() -> str:
+    strip = lambda s: s.rsplit("ORDER BY", 1)[0]  # noqa: E731
+    return f"""
+WITH q AS ({strip(TXT_QUALITY_SQL)}),
+p AS ({strip(TXT_PPL_SQL)}),
+r AS ({strip(TXT_REP_SQL)})
+SELECT q.doc_id, q.quality, p.perplexity, r.top_ngram_char_ratio,
+       (q.quality >= {FILTER_MIN_QUALITY} AND p.perplexity <= {FILTER_MAX_PPL}
+        AND r.dup_line_char_ratio <= {FILTER_MAX_DUP_LINE_CHAR}
+        AND r.top_ngram_char_ratio <= {FILTER_MAX_TOP_NGRAM_CHAR}) AS keep,
+       concat_ws(',',
+         CASE WHEN q.quality < {FILTER_MIN_QUALITY} THEN 'low_quality' END,
+         CASE WHEN p.perplexity > {FILTER_MAX_PPL} THEN 'high_perplexity' END,
+         CASE WHEN r.dup_line_char_ratio > {FILTER_MAX_DUP_LINE_CHAR} THEN 'dup_lines' END,
+         CASE WHEN r.top_ngram_char_ratio > {FILTER_MAX_TOP_NGRAM_CHAR} THEN 'repetitive_ngrams' END
+       ) AS drop_reasons
+FROM q JOIN p ON p.doc_id = q.doc_id JOIN r ON r.doc_id = q.doc_id
+ORDER BY q.doc_id
+"""
+
+
 QUERIES = {
+    "txt_filter_pipeline": (txt_filter_pipeline, _filter_pipeline_sql()),
     "dd_exact_groups": (dd_exact_groups, DD_EXACT_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
