@@ -60,6 +60,64 @@ def windowed_event_stats(
     )
 
 
+def sessionized_user_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time sessionization on the stream — the SAME
+    ``session_window`` groupBy as the batch ``w2_sessionization`` query,
+    so one definition serves both execution modes (the Structured
+    Streaming contract). Sessions are dynamic-length state: a session
+    stays open while events keep arriving within ``gap`` of its end and
+    is emitted exactly once (append mode) when the watermark passes the
+    session end. State is O(open sessions), not O(events). The value sum
+    goes through an exact DECIMAL so totals are aggregation-order
+    independent, byte-identical to the batch twin."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_sessionized_stats(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """File-stream the events landing dir, write watermark-closed
+    sessions to parquet (append mode, availableNow drain)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(str(input_path))
+    )
+    agg = sessionized_user_stats(stream, gap=gap, watermark=watermark)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/sessions")
+        .option("checkpointLocation", f"{out_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_windowed_stats(
     spark: SparkSession,
     input_path: str,

@@ -106,3 +106,53 @@ def test_late_rows_within_watermark_counted(spark, tmp_path):
     assert len(jan1_clicks) == 1
     # the late row made it into the window before the watermark closed it
     assert int(jan1_clicks.iloc[0]["n_events"]) == 3
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    """Streaming sessionization (append mode) emits exactly the sessions
+    the batch session_window computation produces, restricted to those
+    the final watermark closed — the same groupBy definition serves both
+    modes (w2_sessionization's streaming claim, proven)."""
+    from dcc_validate_metadata_spark.streaming import run_sessionized_stats
+
+    landing = tmp_path / "landing_s"
+    landing.mkdir()
+    shutil.copy(SF_EVENTS, landing / "part-000.parquet")
+    out = tmp_path / "sout"
+
+    run_sessionized_stats(
+        spark, str(landing), str(out), gap="30 minutes", watermark="2 hours"
+    )
+    got = (
+        spark.read.parquet(str(out / "sessions"))
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(str(landing))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .filter(F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    # sanity: sessions really merge events (some multi-event sessions)
+    assert (got["n_events"] > 1).any()
