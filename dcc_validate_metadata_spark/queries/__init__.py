@@ -34,6 +34,7 @@ MUST_PROVE = [
     "w2_sessionization",
     "txt_filter_pipeline",
     "av_audio_features",
+    "av_video_frames",
     "txt_token_counts",
     "txt_quality",
     "txt_perplexity",

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 FIXTURE_ROWS = 1010
 FIXTURE_BUCKETS = 4
 FIXTURE_SEED = 42
-FIXTURE_VERSION = 5  # bump when fixture contents change (forces a rebuild)
+FIXTURE_VERSION = 6  # bump when fixture contents change (forces a rebuild)
 FIX_DIR = Path(
     f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}"
     f"_v{FIXTURE_VERSION}"
@@ -92,6 +92,7 @@ def ensure_fixture() -> Path:
         _write_taxon_fixture(tmp)
         _refresh_lock()
         _write_audio_fixture(tmp)
+        _write_video_fixture(tmp)
         _write_ena_fixture(tmp)
         _refresh_lock()
         (tmp / _MARKER).touch()
@@ -474,6 +475,64 @@ def _write_audio_fixture(out_dir: Path) -> None:
         )
     pd.DataFrame(clips).to_parquet(out_dir / "audio_clips.parquet", index=False)
     pd.DataFrame(gold).to_parquet(out_dir / "expected_audio_features.parquet", index=False)
+
+
+def _write_video_fixture(out_dir: Path) -> None:
+    """Multimodal video fixture: 12 deterministic uncompressed-AVI clips
+    (moving gradient + seeded noise, varied fps/size/length incl. a
+    row-padded odd width) plus golden per-sampled-frame channel means
+    computed directly on the generated frames — independent of the
+    engine's decode path."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.av import encode_avi
+
+    clips, gold = [], []
+    for i in range(12):
+        fps = [5.0, 10.0, 25.0][i % 3]
+        w = [16, 17, 24][i % 3]  # 17 exercises 4-byte row padding
+        h = [12, 10, 16][i % 3]
+        n_frames = 4 + (i % 5) * 3
+        rng = np.random.default_rng(2000 + i)
+        frames = []
+        for f in range(n_frames):
+            gx = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+            gy = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+            base = (gx + gy + 13.0 * f + 31.0 * i) % 256
+            frame = np.stack(
+                [base, (base * 2) % 256, (255 - base)], axis=2
+            ) + rng.uniform(-8, 8, size=(h, w, 3))
+            frames.append(np.clip(frame, 0, 255).astype(np.uint8))
+        data = encode_avi(frames, fps=fps)
+        clips.append(
+            {
+                "clip_id": f"vid_{i:03d}",
+                "bytes": data,
+                "fps": fps,
+                "duration_sec": n_frames / fps,
+                "w": w,
+                "h": h,
+                "codec": "rawvideo",
+            }
+        )
+        step = max(1, int(round(1.0 * fps)))  # every_sec=1.0 sampling
+        for fidx in range(0, n_frames, step):
+            fr = frames[fidx].astype(np.float64)
+            gold.append(
+                {
+                    "clip_id": f"vid_{i:03d}",
+                    "frame_idx": fidx,
+                    "ts_sec": round(fidx / fps, 4),
+                    "mean_r": round(float(fr[:, :, 0].mean()), 4),
+                    "mean_g": round(float(fr[:, :, 1].mean()), 4),
+                    "mean_b": round(float(fr[:, :, 2].mean()), 4),
+                }
+            )
+    pd.DataFrame(clips).to_parquet(out_dir / "video_clips.parquet", index=False)
+    pd.DataFrame(gold).to_parquet(
+        out_dir / "expected_video_features.parquet", index=False
+    )
 
 
 def _write_ena_fixture(out_dir: Path) -> None:
@@ -1252,6 +1311,36 @@ ORDER BY clip_id
 """
 
 
+_VIDEO = str(FIX_DIR / "video_clips.parquet")
+_EXP_VIDEO = str(FIX_DIR / "expected_video_features.parquet")
+
+
+def av_video_frames(spark, sf_dir):
+    """Multimodal video: REAL uncompressed-AVI decode (stdlib RIFF/DIB
+    reader) through the Arrow mapInPandas stage — per-sampled-frame
+    channel means computed inside the decode stage so raw frames never
+    shuffle; oracle = golden features computed directly on the generated
+    frames at fixture-build time."""
+    from ..multimodal.av import video_frame_features
+
+    ensure_fixture()
+    df = spark.read.parquet(_VIDEO).select(
+        "clip_id",
+        "bytes",
+        F.struct("fps", "duration_sec", "w", "h", "codec").alias("meta"),
+    )
+    return video_frame_features(df, every_sec=1.0).orderBy(
+        "clip_id", "frame_idx"
+    )
+
+
+AV_VIDEO_SQL = f"""
+SELECT clip_id, frame_idx, ts_sec, mean_r, mean_g, mean_b
+FROM read_parquet('{_EXP_VIDEO}')
+ORDER BY clip_id, frame_idx
+"""
+
+
 _RELEASE = "2026-08-17T00:00:00Z"  # fixed release stamp (deterministic docs)
 
 
@@ -1603,6 +1692,7 @@ QUERIES = {
     "j12_taxon_enrichment": (j12_taxon_enrichment, J12_TAXON_SQL),
     "s8_biosamples_json": (s8_biosamples_json, S8_BIOSAMPLES_SQL),
     "av_audio_features": (av_audio_features, AV_AUDIO_SQL),
+    "av_video_frames": (av_video_frames, AV_VIDEO_SQL),
     "s9_ena_sample_xml": (s9_ena_sample_xml, S9_ENA_XML_SQL),
     "s9b_ena_run_xml": (s9b_ena_run_xml, S9B_ENA_RUN_SQL),
     "s9c_ena_experiment_xml": (s9c_ena_experiment_xml, S9C_ENA_EXP_SQL),
