@@ -150,7 +150,9 @@ def encode_avi(frames: list, fps: float) -> bytes:
     scale, rate = 1000, int(round(fps * 1000))
     avih = struct.pack(
         "<14I",
-        int(1e6 / fps), frame_size * int(fps) + 1, 0, 0x10,  # us/frame, rate, pad, HASINDEX-less flags
+        # us/frame, max bytes/sec, padding, flags=0 (no idx1 chunk is
+        # written, so AVIF_HASINDEX must NOT be claimed)
+        int(1e6 / fps), frame_size * int(fps) + 1, 0, 0,
         len(frames), 0, 1, frame_size, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -175,20 +177,23 @@ def encode_avi(frames: list, fps: float) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(data: bytes) -> tuple[list, float, int, int]:
-    """Minimal RIFF/AVI reader for the uncompressed 24-bit DIB layout:
-    returns ([(h, w, 3) uint8 RGB frames], fps, w, h). Raises ValueError
-    for non-AVI payloads and NotImplementedError for compressed streams
-    (biCompression != 0 or non-24-bit) — the caller's stub handles those."""
+def _parse_avi(data: bytes) -> tuple[list, float, int, int, bool]:
+    """Chunk-walk a RIFF/AVI payload WITHOUT decoding pixels: returns
+    (raw '00db' frame chunks, fps, w, h, bottom_up). Raises ValueError
+    for non-AVI / truncated payloads and NotImplementedError for
+    compressed streams — never a bare ``struct.error`` (a truncated
+    header must fall to the caller's stub path, not kill a Spark task)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
     w = h = None
+    bottom_up = True
     scale = rate = None
+    in_video_stream = False
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, scale, rate
+        nonlocal w, h, scale, rate, bottom_up, in_video_stream
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
@@ -199,9 +204,13 @@ def decode_avi(data: bytes) -> tuple[list, float, int, int]:
                 fcc_type, _hdl, _fl, _pr, _lg, _init, s, r = struct.unpack_from(
                     "<4s4sIHHIII", buf, payload_at
                 )
-                if fcc_type == b"vids":
+                # the next strf belongs to THIS stream: only a vids strf
+                # may be read as a BITMAPINFOHEADER (an audio stream
+                # listed first would otherwise be misparsed)
+                in_video_stream = fcc_type == b"vids"
+                if in_video_stream:
                     scale, rate = s, r
-            elif fourcc == b"strf" and w is None:
+            elif fourcc == b"strf" and in_video_stream and w is None:
                 (_sz, bw, bh, _planes, bits, comp) = struct.unpack_from(
                     "<IiiHHI", buf, payload_at
                 )
@@ -211,22 +220,40 @@ def decode_avi(data: bytes) -> tuple[list, float, int, int]:
                         f"compression={comp}) needs a codec library"
                     )
                 w, h = bw, abs(bh)
+                bottom_up = bh > 0  # negative biHeight = top-down rows
             elif fourcc in (b"00db", b"00dd"):
                 frames_raw.append(buf[payload_at:payload_at + size])
             pos = payload_at + size + (size % 2)
 
-    walk(data, 12, len(data))
+    try:
+        walk(data, 12, len(data))
+    except struct.error as e:
+        raise ValueError(f"truncated AVI header: {e}") from e
     if w is None or not frames_raw:
         raise ValueError("no uncompressed video stream found in AVI")
     fps = (rate / scale) if (rate and scale) else 25.0
+    return frames_raw, fps, w, h, bottom_up
+
+
+def _dib_frame(raw: bytes, w: int, h: int, bottom_up: bool) -> np.ndarray:
+    """One raw DIB chunk → (h, w, 3) uint8 RGB (strip row padding,
+    un-flip bottom-up rows, BGR→RGB)."""
     row_pad = (-(w * 3)) % 4
-    frames = []
-    for raw in frames_raw:
-        rows = np.frombuffer(raw, dtype=np.uint8)
-        rows = rows[: (w * 3 + row_pad) * h].reshape(h, w * 3 + row_pad)
-        bgr = rows[:, : w * 3].reshape(h, w, 3)
-        frames.append(np.ascontiguousarray(bgr[::-1, :, ::-1]))  # top-down RGB
-    return frames, fps, w, h
+    rows = np.frombuffer(raw, dtype=np.uint8)
+    rows = rows[: (w * 3 + row_pad) * h].reshape(h, w * 3 + row_pad)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+def decode_avi(data: bytes) -> tuple[list, float, int, int]:
+    """Minimal RIFF/AVI reader for the uncompressed 24-bit DIB layout:
+    returns ([(h, w, 3) uint8 RGB frames], fps, w, h). Raises ValueError
+    for non-AVI payloads and NotImplementedError for compressed streams
+    (biCompression != 0 or non-24-bit) — the caller's stub handles those."""
+    frames_raw, fps, w, h, bottom_up = _parse_avi(data)
+    return [_dib_frame(r, w, h, bottom_up) for r in frames_raw], fps, w, h
 
 
 # --------------------------------------------------------------------------
@@ -306,24 +333,50 @@ def audio_features(
 def _clip_decoder(data: bytes, meta: dict, fake: bool):
     """Per-clip frame access: parse the container ONCE, not per frame.
     Returns (get_frame(idx) -> (h, w, 3) uint8, n_frames, fps). Real
-    decode for uncompressed RIFF/AVI payloads; compressed streams raise
-    (or fall to the deterministic fake in test mode); non-AVI payloads
-    use meta-driven stub geometry."""
+    decode for uncompressed RIFF/AVI payloads — header walk only; pixel
+    conversion happens LAZILY inside get_frame, so sampling every Nth
+    frame decodes 1/N of the pixels and holds no decoded frames beyond
+    the one in flight. Compressed streams raise (or fall to the
+    deterministic fake in test mode); non-AVI payloads use meta-driven
+    stub geometry."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         try:
-            frames, fps, _w, _h = decode_avi(data)
-            return (lambda i: frames[i]), len(frames), fps
+            frames_raw, fps, w, h, bottom_up = _parse_avi(data)
+            return (
+                lambda i: _dib_frame(frames_raw[i], w, h, bottom_up),
+                len(frames_raw),
+                fps,
+            )
         except NotImplementedError:
             if not fake:
                 raise
         except ValueError:
-            pass  # RIFF but not decodable AVI (WebP etc.): stub decides
+            pass  # RIFF but not decodable AVI (WebP/truncated): stub decides
     n_frames = int(meta["duration_sec"] * meta["fps"])
     return (
         lambda i: _decode_frame_stub(data, meta, i, fake),
         n_frames,
         float(meta["fps"]),
     )
+
+
+def _iter_sampled_frames(
+    b: pd.DataFrame, id_col: str, every_sec: float, fake: bool
+):
+    """Shared sampling loop for one Arrow batch: yields
+    (row_id, frame_idx, ts_sec, frame ndarray) for every sampled frame —
+    the single place that owns None-skips, per-clip decoding, and step
+    arithmetic (sample_video_frames and video_frame_features differ only
+    in their per-frame projection)."""
+    metas = b["meta"]
+    for i, data in enumerate(b["bytes"].tolist()):
+        if data is None:
+            continue
+        meta = dict(metas.iloc[i])
+        get_frame, n_frames, fps = _clip_decoder(bytes(data), meta, fake)
+        step = max(1, int(round(every_sec * fps)))
+        for fidx in range(0, n_frames, step):
+            yield b[id_col].iloc[i], fidx, round(fidx / fps, 4), get_frame(fidx)
 
 
 def sample_video_frames(
@@ -344,21 +397,13 @@ def sample_video_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, idxs, tss, frames = [], [], [], []
-            metas = b["meta"]
-            for i, data in enumerate(b["bytes"].tolist()):
-                if data is None:
-                    continue
-                meta = dict(metas.iloc[i])
-                get_frame, n_frames, fps = _clip_decoder(
-                    bytes(data), meta, fake_decode
-                )
-                step = max(1, int(round(every_sec * fps)))
-                for fidx in range(0, n_frames, step):
-                    frame = get_frame(fidx)
-                    ids.append(b[id_col].iloc[i])
-                    idxs.append(fidx)
-                    tss.append(round(fidx / fps, 4))
-                    frames.append(frame.tobytes())
+            for rid, fidx, ts, frame in _iter_sampled_frames(
+                b, id_col, every_sec, fake_decode
+            ):
+                ids.append(rid)
+                idxs.append(fidx)
+                tss.append(ts)
+                frames.append(frame.tobytes())
             yield pd.DataFrame(
                 {
                     id_col: ids,
@@ -394,23 +439,16 @@ def video_frame_features(
                 id_col: [], "frame_idx": [], "ts_sec": [],
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
-            metas = b["meta"]
-            for i, data in enumerate(b["bytes"].tolist()):
-                if data is None:
-                    continue
-                meta = dict(metas.iloc[i])
-                get_frame, n_frames, fps = _clip_decoder(
-                    bytes(data), meta, fake_decode
-                )
-                step = max(1, int(round(every_sec * fps)))
-                for fidx in range(0, n_frames, step):
-                    frame = get_frame(fidx).astype(np.float64)
-                    out[id_col].append(b[id_col].iloc[i])
-                    out["frame_idx"].append(fidx)
-                    out["ts_sec"].append(round(fidx / fps, 4))
-                    out["mean_r"].append(round(float(frame[:, :, 0].mean()), 4))
-                    out["mean_g"].append(round(float(frame[:, :, 1].mean()), 4))
-                    out["mean_b"].append(round(float(frame[:, :, 2].mean()), 4))
+            for rid, fidx, ts, frame in _iter_sampled_frames(
+                b, id_col, every_sec, fake_decode
+            ):
+                f = frame.astype(np.float64)
+                out[id_col].append(rid)
+                out["frame_idx"].append(fidx)
+                out["ts_sec"].append(ts)
+                out["mean_r"].append(round(float(f[:, :, 0].mean()), 4))
+                out["mean_g"].append(round(float(f[:, :, 1].mean()), 4))
+                out["mean_b"].append(round(float(f[:, :, 2].mean()), 4))
             out["frame_idx"] = pd.array(out["frame_idx"], dtype="int32")
             yield pd.DataFrame(out)
 

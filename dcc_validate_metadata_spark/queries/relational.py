@@ -711,15 +711,18 @@ def w2_sessionization(spark, sf_dir):
 
 W2_SQL = """
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                -- strictly greater: Spark's session_window MERGES events
+                -- exactly gap apart (verified live: 30:00.000000 apart
+                -- = one session), so >= here would split them
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )

@@ -585,7 +585,15 @@ def txt_filter_pipeline(spark, sf_dir):
 
 
 def _filter_pipeline_sql() -> str:
-    strip = lambda s: s.rsplit("ORDER BY", 1)[0]  # noqa: E731
+    import re
+
+    def strip(s: str) -> str:
+        # remove ONLY a trailing top-level "ORDER BY <cols>" clause — a
+        # bare rsplit would truncate mid-expression if the last "ORDER
+        # BY" ever sat inside a window OVER(...) clause instead
+        out = re.sub(r"ORDER BY[\s\w.,]+$", "", s.rstrip())
+        assert out != s.rstrip(), "component query lost its trailing ORDER BY"
+        return out
     return f"""
 WITH q AS ({strip(TXT_QUALITY_SQL)}),
 p AS ({strip(TXT_PPL_SQL)}),

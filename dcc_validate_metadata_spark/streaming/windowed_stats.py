@@ -93,6 +93,29 @@ def sessionized_user_stats(
     )
 
 
+def _run_event_stream(
+    spark: SparkSession, input_path: str, out_dir: str, agg_fn, subdir: str
+):
+    """Shared runner: file-stream the events landing dir, apply the
+    aggregation, write append-mode results to parquet, drain with
+    availableNow. One place owns the readStream/writeStream/checkpoint
+    boilerplate for both the windowed and sessionized stats."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(str(input_path))
+    )
+    q = (
+        agg_fn(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/{subdir}")
+        .option("checkpointLocation", f"{out_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_sessionized_stats(
     spark: SparkSession,
     input_path: str,
@@ -102,20 +125,13 @@ def run_sessionized_stats(
 ):
     """File-stream the events landing dir, write watermark-closed
     sessions to parquet (append mode, availableNow drain)."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(str(input_path))
+    return _run_event_stream(
+        spark,
+        input_path,
+        out_dir,
+        lambda s: sessionized_user_stats(s, gap=gap, watermark=watermark),
+        "sessions",
     )
-    agg = sessionized_user_stats(stream, gap=gap, watermark=watermark)
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_dir}/sessions")
-        .option("checkpointLocation", f"{out_dir}/checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
 
 
 def run_windowed_stats(
@@ -128,17 +144,10 @@ def run_windowed_stats(
     """File-stream the events landing dir, write closed windows (append
     mode: one immutable row per window, emitted when the watermark passes
     its end) to parquet; availableNow drains the backlog then stops."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(str(input_path))
+    return _run_event_stream(
+        spark,
+        input_path,
+        out_dir,
+        lambda s: windowed_event_stats(s, window=window, watermark=watermark),
+        "windows",
     )
-    agg = windowed_event_stats(stream, window=window, watermark=watermark)
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_dir}/windows")
-        .option("checkpointLocation", f"{out_dir}/checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q

@@ -260,3 +260,39 @@ def test_video_frames_real_avi_no_fake(spark):
     assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6]
     got = np.frombuffer(rows[1]["frame_bytes"], dtype=np.uint8).reshape(6, 7, 3)
     assert np.array_equal(got, frames[2])
+
+
+def test_avi_top_down_dib_not_flipped():
+    """Negative biHeight (top-down rows) must decode in correct
+    orientation — only bottom-up streams get the row flip."""
+    import struct as _struct
+
+    from dcc_validate_metadata_spark.multimodal.av import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)]
+    data = bytearray(encode_avi(frames, fps=5.0))
+    # locate the strf chunk and negate biHeight; rewrite the frame chunk
+    # rows as TOP-DOWN (no flip) so the image content is unchanged
+    i = bytes(data).index(b"strf")
+    # biHeight sits at strf payload offset 8 (after biSize, biWidth)
+    (bh,) = _struct.unpack_from("<i", data, i + 8 + 8)
+    _struct.pack_into("<i", data, i + 8 + 8, -bh)
+    j = bytes(data).index(b"00db")
+    bgr_top_down = np.ascontiguousarray(frames[0][:, :, ::-1])  # no row flip
+    data[j + 8 : j + 8 + bgr_top_down.nbytes] = bgr_top_down.tobytes()
+    back, _fps, _w, _h = decode_avi(bytes(data))
+    assert np.array_equal(back[0], frames[0])
+
+
+def test_truncated_avi_header_falls_to_stub(spark):
+    """A payload with RIFF/AVI magic but a truncated header must fall to
+    the stub path (fake mode) or raise cleanly — never a raw
+    struct.error escaping the Spark task."""
+    from dcc_validate_metadata_spark.multimodal.av import _clip_decoder
+
+    truncated = b"RIFF\x20\x00\x00\x00AVI LIST\x10\x00\x00\x00hdrlstrh\x04\x00"
+    meta = {"fps": 2.0, "duration_sec": 2.0, "w": 4, "h": 3, "codec": "rawvideo"}
+    get_frame, n, fps = _clip_decoder(truncated, meta, fake=True)
+    assert n == 4 and fps == 2.0
+    assert get_frame(0).shape == (3, 4, 3)
