@@ -28,6 +28,13 @@ from pathlib import Path
 
 from .constants import TIERS
 
+# Bump when the COMPILER's semantics for any rule kind change (not when
+# rule data changes — that's the fingerprint's json body). Folded into
+# Ruleset.fingerprint so manifests refuse to resume across semantic
+# shifts. History: 2 = numeric rule moved from Spark-cast acceptance to
+# the shared JSON-grammar NUMBER_RE (round 3).
+RULE_SEMANTICS_VERSION = 2
+
 ROW_KINDS = frozenset(
     {
         "regex", "enum", "range", "maxlen", "mandatory", "missing_tokens",
@@ -64,11 +71,17 @@ class Ruleset:
         lineage so a resumed/compared run can prove it validated under
         the same rules. Deliberately excludes ``table`` (load_ruleset
         derives it from the file basename; renaming an identical ruleset
-        file must not change its fingerprint)."""
+        file must not change its fingerprint). Includes
+        ``RULE_SEMANTICS_VERSION``: identical rule DATA compiled by a
+        compiler whose semantics changed (e.g. the numeric rule moving
+        from cast-based to regex-based acceptance) must NOT resume a
+        half-finished run — the already-done partitions were judged
+        under different semantics."""
         import hashlib
 
         canon = json.dumps(
             {
+                "semantics": RULE_SEMANTICS_VERSION,
                 "rules": [
                     {
                         "field": r.field,

@@ -277,6 +277,17 @@ def test_ruleset_fingerprint_in_manifest(spark, tmp_path, fixture_dir):
         [{"field": "fmt", "tier": "mandatory", "checks": []}], table="image_caption"
     )
     assert other.fingerprint() != default_image_ruleset().fingerprint()
+    # compiler-semantics shifts change the fingerprint even with
+    # identical rule data (resume must refuse across them)
+    import dcc_validate_metadata_spark.rules.model as M
+
+    before = default_image_ruleset().fingerprint()
+    orig = M.RULE_SEMANTICS_VERSION
+    try:
+        M.RULE_SEMANTICS_VERSION = orig + 1
+        assert default_image_ruleset().fingerprint() != before
+    finally:
+        M.RULE_SEMANTICS_VERSION = orig
 
 
 def test_resume_refuses_ruleset_change(spark, tmp_path, fixture_dir):
