@@ -35,6 +35,7 @@ MUST_PROVE = [
     "txt_filter_pipeline",
     "av_audio_features",
     "av_video_frames",
+    "img_phash_neardup",
     "txt_token_counts",
     "txt_quality",
     "txt_perplexity",

@@ -1255,6 +1255,56 @@ FROM keys k LEFT JOIN agg a
 """
 
 
+def img_phash_neardup(spark, sf_dir):
+    """Image near-dup pairs by perceptual-hash Hamming banding — the
+    image-side LSH (exact phash groups miss re-encoded images that
+    differ by a few bits). Deterministic near neighbors are derived
+    in-query: each image contributes a 1-bit-flipped phash twin (flip
+    position = pmod(phash, 63), engine-reproducible), and the banded
+    join must recover every original↔twin pair at hamming 1 plus the
+    planted exact-dup pairs at hamming 0 — with 8 bands × radius 6,
+    recall is exact by pigeonhole, verified by bit_count(xor) on both
+    engines."""
+    from ..operators.dedup import phash_neardup_pairs
+
+    ensure_fixture()
+    img = spark.read.parquet(_IMG).select("image_id", "phash")
+    noisy = img.select(
+        F.concat(F.lit("n_"), F.col("image_id")).alias("image_id"),
+        F.col("phash")
+        .bitwiseXOR(F.expr("shiftleft(1L, int(pmod(phash, 63)))"))
+        .alias("phash"),
+    )
+    return phash_neardup_pairs(
+        img.unionByName(noisy), max_hamming=6, n_bands=8
+    ).orderBy("id_a", "id_b")
+
+
+IMG_PHASH_NEARDUP_SQL = f"""
+WITH img AS (SELECT image_id, phash FROM read_parquet('{_IMG}')),
+noisy AS (
+  SELECT 'n_' || image_id AS image_id,
+         xor(phash, 1::BIGINT << (((phash % 63) + 63) % 63)) AS phash
+  FROM img
+),
+allp AS (SELECT * FROM img UNION ALL SELECT * FROM noisy),
+bands AS (
+  SELECT image_id AS id, phash, b.band,
+         (phash >> (b.band * 8)) & 255 AS key
+  FROM allp, (SELECT unnest(range(0, 8)) AS band) b
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT DISTINCT id_a, id_b, bit_count(xor(ph_a, ph_b))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
 _TAXON = str(FIX_DIR / "taxon_snapshot.parquet")
 _SAMPLES_TAXON = str(FIX_DIR / "samples_taxon.parquet")
 
@@ -1684,6 +1734,7 @@ QUERIES = {
     "img_verdicts": (img_verdicts, IMG_VERDICTS_SQL),
     "img_column_stats": (img_column_stats, IMG_STATS_SQL),
     "img_dup_phash": (img_dup_phash, IMG_DUP_SQL),
+    "img_phash_neardup": (img_phash_neardup, IMG_PHASH_NEARDUP_SQL),
     "img_drift_hist": (img_drift_hist, IMG_DRIFT_SQL),
     "img_annotated_overlay": (img_annotated_overlay, IMG_ANNOTATED_SQL),
     "samples_faang_schema": (samples_faang_schema, FAANG_SCHEMA_SQL),

@@ -12,7 +12,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-EXPECTED_QUERY_COUNT = 87
+EXPECTED_QUERY_COUNT = 88
 NO_ORACLE = {"ann_lsh_bucketed", "ann_lsh_multiprobe"}  # recall<1 by design
 
 

@@ -228,3 +228,44 @@ def test_connected_components_paths_agree_random_graph(spark):
         ).collect()
     }
     assert dist == local and len(local) > 80
+
+
+def test_phash_neardup_exact_recall_vs_bruteforce(spark):
+    """Banded phash Hamming join (8 bands, radius 6) must equal the
+    quadratic brute force exactly — pigeonhole guarantees recall when
+    max_hamming < n_bands — and reject an unsound configuration."""
+    import itertools
+    import random
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dcc_validate_metadata_spark.operators.dedup import phash_neardup_pairs
+
+    rng = random.Random(3)
+    rows = []
+    base_hashes = [rng.getrandbits(63) for _ in range(40)]
+    for i, h in enumerate(base_hashes):
+        rows.append((f"a{i:02d}", h))
+        # twins at hamming 1..6 and a far variant
+        flip = 0
+        for k in range(1 + i % 6):
+            flip |= 1 << ((h >> k) % 62)  # stay inside signed int64
+        rows.append((f"b{i:02d}", h ^ flip))
+        rows.append((f"c{i:02d}", h ^ ((1 << 50) - 1)))  # far away
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(df, max_hamming=6, n_bands=8).collect()
+    }
+    expect = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 6:
+            key = (ia, ib) if ia < ib else (ib, ia)
+            expect[key] = d
+    assert got == expect and len(expect) > 0
+
+    with _pytest.raises(ValueError, match="max_hamming < n_bands"):
+        phash_neardup_pairs(df, max_hamming=8, n_bands=8)
