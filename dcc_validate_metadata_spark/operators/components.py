@@ -106,7 +106,9 @@ def connected_components(
     # threshold+1 limit — if nothing was truncated the graph is local-
     # sized and already in hand (no separate count pass over the pair
     # lineage); a truncated result is discarded and the distributed path
-    # recomputes (rare by construction: only when >2M near-dup pairs)
+    # recomputes (rare by construction: the default 500k symmetric-edge
+    # gate ≈ 250k undirected near-dup pairs; raise local_threshold if the
+    # driver has headroom for more)
     head = edges.limit(local_threshold + 1).collect()
     if len(head) <= local_threshold:
         from pyspark.sql import types as T

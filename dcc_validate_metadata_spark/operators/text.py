@@ -233,11 +233,15 @@ def model_lang_id_df(
             }
         )
 
+    # derive the id column's type from the input so a string doc_id (or
+    # any non-long id) round-trips through the Arrow stage unchanged —
+    # hardcoding 'long' here broke drop-in parity with lang_id_df
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return model_text_stage(
         df,
         model_factory,
         apply_fn,
-        output_schema=f"{id_col} long, pred_lang string, en_score double",
+        output_schema=f"{id_col} {id_ddl}, pred_lang string, en_score double",
         id_col=id_col,
         text_col=text_col,
         cache_key=cache_key,

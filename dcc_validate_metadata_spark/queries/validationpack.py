@@ -1439,14 +1439,20 @@ def s9_ena_sample_xml(spark, sf_dir):
     return ena_sample_xml(df, taxon, attribute_cols=["organism"]).orderBy("name")
 
 
+# mirror submission_sinks.xml_escape / xml_escape_attr byte-for-byte
+# (fixture values are escape-clean today; the mirroring keeps a future
+# hostile fixture from diverging silently — same class as the S8 JSON fix)
+_X = "replace(replace(replace({e}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+_XA = "replace(" + _X + ", chr(34), '&quot;')"
+
 S9_ENA_XML_SQL = f"""
 SELECT s.name,
-       '<SAMPLE alias="' || s.name ||
-       '" center_name="FAANG"><TITLE>' || s.name ||
+       '<SAMPLE alias="' || {_XA.format(e='s.name')} ||
+       '" center_name="FAANG"><TITLE>' || {_X.format(e='s.name')} ||
        '</TITLE><SAMPLE_NAME><TAXON_ID>' || t.taxon_id ||
-       '</TAXON_ID><SCIENTIFIC_NAME>' || t.scientific_name ||
+       '</TAXON_ID><SCIENTIFIC_NAME>' || {_X.format(e='t.scientific_name')} ||
        '</SCIENTIFIC_NAME></SAMPLE_NAME><SAMPLE_ATTRIBUTES>' ||
-       '<SAMPLE_ATTRIBUTE><TAG>organism</TAG><VALUE>' || s.organism ||
+       '<SAMPLE_ATTRIBUTE><TAG>organism</TAG><VALUE>' || {_X.format(e='s.organism')} ||
        '</VALUE></SAMPLE_ATTRIBUTE>' ||
        '</SAMPLE_ATTRIBUTES></SAMPLE>' AS xml
 FROM read_parquet('{_SAMPLES_TAXON}') s
@@ -1479,9 +1485,9 @@ def s9b_ena_run_xml(spark, sf_dir):
 
 S9B_ENA_RUN_SQL = f"""
 SELECT run_alias AS alias,
-  '<RUN alias="' || run_alias || '"'
+  '<RUN alias="' || {_esc_sql('run_alias', attr=True)} || '"'
   || CASE WHEN run_center IS NOT NULL
-          THEN ' run_center="' || run_center || '"' ELSE '' END
+          THEN ' run_center="' || {_esc_sql('run_center', attr=True)} || '"' ELSE '' END
   || CASE WHEN run_date IS NOT NULL
              AND coalesce(try_strptime(run_date, '%Y-%m-%d'),
                           try_strptime(run_date, '%Y-%m')) IS NOT NULL
@@ -1490,13 +1496,13 @@ SELECT run_alias AS alias,
                           try_strptime(run_date, '%Y-%m')),
                  '%Y-%m-%dT%H:%M:%S') || '"'
           ELSE '' END
-  || '><EXPERIMENT_REF refname="' || experiment_ref || '"/><DATA_BLOCK><FILES>'
-  || '<FILE filename="' || filename || '" filetype="' || filetype
-  || '" checksum_method="' || checksum_method || '" checksum="' || checksum || '"/>'
+  || '><EXPERIMENT_REF refname="' || {_esc_sql('experiment_ref', attr=True)} || '"/><DATA_BLOCK><FILES>'
+  || '<FILE filename="' || {_esc_sql('filename', attr=True)} || '" filetype="' || {_esc_sql('filetype', attr=True)}
+  || '" checksum_method="' || {_esc_sql('checksum_method', attr=True)} || '" checksum="' || {_esc_sql('checksum', attr=True)} || '"/>'
   || CASE WHEN filename_pair IS NOT NULL
-          THEN '<FILE filename="' || filename_pair || '" filetype="' || filetype_pair
-               || '" checksum_method="' || checksum_method_pair
-               || '" checksum="' || checksum_pair || '"/>'
+          THEN '<FILE filename="' || {_esc_sql('filename_pair', attr=True)} || '" filetype="' || {_esc_sql('filetype_pair', attr=True)}
+               || '" checksum_method="' || {_esc_sql('checksum_method_pair', attr=True)}
+               || '" checksum="' || {_esc_sql('checksum_pair', attr=True)} || '"/>'
           ELSE '' END
   || '</FILES></DATA_BLOCK></RUN>' AS xml
 FROM read_parquet('{_ENA_RUN}')
@@ -1520,17 +1526,17 @@ def s9c_ena_experiment_xml(spark, sf_dir):
 
 S9C_ENA_EXP_SQL = f"""
 SELECT experiment_alias AS alias,
-  '<EXPERIMENT alias="' || experiment_alias || '"><TITLE>'
+  '<EXPERIMENT alias="' || {_esc_sql('experiment_alias', attr=True)} || '"><TITLE>'
   || {_esc_sql('title')}
-  || '</TITLE><STUDY_REF refname="' || study_ref || '"/><DESIGN><DESIGN_DESCRIPTION>'
+  || '</TITLE><STUDY_REF refname="' || {_esc_sql('study_ref', attr=True)} || '"/><DESIGN><DESIGN_DESCRIPTION>'
   || {_esc_sql('design_description')}
-  || '</DESIGN_DESCRIPTION><SAMPLE_DESCRIPTOR refname="' || sample_descriptor
+  || '</DESIGN_DESCRIPTION><SAMPLE_DESCRIPTOR refname="' || {_esc_sql('sample_descriptor', attr=True)}
   || '"/><LIBRARY_DESCRIPTOR>'
   || CASE WHEN library_name IS NOT NULL
-          THEN '<LIBRARY_NAME>' || library_name || '</LIBRARY_NAME>' ELSE '' END
-  || '<LIBRARY_STRATEGY>' || library_strategy || '</LIBRARY_STRATEGY>'
-  || '<LIBRARY_SOURCE>' || library_source || '</LIBRARY_SOURCE>'
-  || '<LIBRARY_SELECTION>' || library_selection || '</LIBRARY_SELECTION>'
+          THEN '<LIBRARY_NAME>' || {_esc_sql('library_name')} || '</LIBRARY_NAME>' ELSE '' END
+  || '<LIBRARY_STRATEGY>' || {_esc_sql('library_strategy')} || '</LIBRARY_STRATEGY>'
+  || '<LIBRARY_SOURCE>' || {_esc_sql('library_source')} || '</LIBRARY_SOURCE>'
+  || '<LIBRARY_SELECTION>' || {_esc_sql('library_selection')} || '</LIBRARY_SELECTION>'
   || CASE WHEN library_layout = 'PAIRED' AND nominal_length IS NOT NULL
           THEN '<LIBRARY_LAYOUT><PAIRED NOMINAL_LENGTH="' || nominal_length::BIGINT
                || '"/></LIBRARY_LAYOUT>'
@@ -1538,20 +1544,20 @@ SELECT experiment_alias AS alias,
           THEN '<LIBRARY_LAYOUT><PAIRED/></LIBRARY_LAYOUT>'
           ELSE '<LIBRARY_LAYOUT><SINGLE/></LIBRARY_LAYOUT>' END
   || CASE WHEN library_construction_protocol IS NOT NULL
-          THEN '<LIBRARY_CONSTRUCTION_PROTOCOL>' || library_construction_protocol
+          THEN '<LIBRARY_CONSTRUCTION_PROTOCOL>' || {_esc_sql('library_construction_protocol')}
                || '</LIBRARY_CONSTRUCTION_PROTOCOL>'
           ELSE '' END
   || '</LIBRARY_DESCRIPTOR></DESIGN><PLATFORM><' || platform
-  || '><INSTRUMENT_MODEL>' || instrument_model || '</INSTRUMENT_MODEL></'
+  || '><INSTRUMENT_MODEL>' || {_esc_sql('instrument_model')} || '</INSTRUMENT_MODEL></'
   || platform || '></PLATFORM>'
   || '<EXPERIMENT_ATTRIBUTES>'
   || CASE WHEN secondary_project IS NOT NULL
           THEN '<EXPERIMENT_ATTRIBUTE><TAG>secondary_project</TAG><VALUE>'
-               || secondary_project || '</VALUE></EXPERIMENT_ATTRIBUTE>'
+               || {_esc_sql('secondary_project')} || '</VALUE></EXPERIMENT_ATTRIBUTE>'
           ELSE '' END
   || CASE WHEN experimental_protocol IS NOT NULL
           THEN '<EXPERIMENT_ATTRIBUTE><TAG>experimental_protocol</TAG><VALUE>'
-               || experimental_protocol || '</VALUE></EXPERIMENT_ATTRIBUTE>'
+               || {_esc_sql('experimental_protocol')} || '</VALUE></EXPERIMENT_ATTRIBUTE>'
           ELSE '' END
   || '</EXPERIMENT_ATTRIBUTES></EXPERIMENT>' AS xml
 FROM read_parquet('{_ENA_EXP}')
@@ -1574,10 +1580,10 @@ def s9f_ena_submission_xml(spark, sf_dir):
 
 S9F_ENA_SUB_SQL = f"""
 SELECT run_alias AS alias,
-  '<SUBMISSION alias="' || run_alias
+  '<SUBMISSION alias="' || {_esc_sql('run_alias', attr=True)}
   || '"><ACTIONS><ACTION><ADD/></ACTION>'
   || CASE WHEN run_date IS NOT NULL
-          THEN '<ACTION><HOLD HoldUntilDate="' || run_date || '"/></ACTION>'
+          THEN '<ACTION><HOLD HoldUntilDate="' || {_esc_sql('run_date', attr=True)} || '"/></ACTION>'
           ELSE '<ACTION><RELEASE/></ACTION>' END
   || '</ACTIONS></SUBMISSION>' AS xml
 FROM read_parquet('{_ENA_RUN}')
@@ -1596,9 +1602,9 @@ def s9d_ena_study_xml(spark, sf_dir):
 
 S9D_ENA_STD_SQL = f"""
 SELECT study_alias AS alias,
-  '<STUDY alias="' || study_alias || '"><DESCRIPTOR><STUDY_TITLE>'
+  '<STUDY alias="' || {_esc_sql('study_alias', attr=True)} || '"><DESCRIPTOR><STUDY_TITLE>'
   || {_esc_sql('study_title')}
-  || '</STUDY_TITLE><STUDY_TYPE existing_study_type="' || study_type || '"/>'
+  || '</STUDY_TITLE><STUDY_TYPE existing_study_type="' || {_esc_sql('study_type', attr=True)} || '"/>'
   || CASE WHEN study_abstract IS NOT NULL
           THEN '<STUDY_ABSTRACT>' || {_esc_sql('study_abstract')} || '</STUDY_ABSTRACT>'
           ELSE '' END
@@ -1620,7 +1626,7 @@ def s9e_ena_analysis_xml(spark, sf_dir):
 
 _AN_ATTR_SQL = "\n  || ".join(
     f"""CASE WHEN {col} IS NOT NULL
-          THEN '<ANALYSIS_ATTRIBUTE><TAG>{tag}</TAG><VALUE>' || {col}
+          THEN '<ANALYSIS_ATTRIBUTE><TAG>{tag}</TAG><VALUE>' || {_esc_sql(col)}
                || '</VALUE></ANALYSIS_ATTRIBUTE>'
           ELSE '' END"""
     for col, tag in [
@@ -1637,24 +1643,24 @@ _AN_ATTR_SQL = "\n  || ".join(
 
 S9E_ENA_AN_SQL = f"""
 SELECT alias,
-  '<ANALYSIS alias="' || alias || '"><TITLE>'
+  '<ANALYSIS alias="' || {_esc_sql('alias', attr=True)} || '"><TITLE>'
   || {_esc_sql('title')}
   || '</TITLE><DESCRIPTION>'
   || {_esc_sql('description')}
-  || '</DESCRIPTION><STUDY_REF accession="' || study || '"/>'
+  || '</DESCRIPTION><STUDY_REF accession="' || {_esc_sql('study', attr=True)} || '"/>'
   || coalesce(array_to_string(list_transform(samples,
-       x -> '<SAMPLE_REF accession="' || x || '"/>'), ''), '')
+       x -> '<SAMPLE_REF accession="' || {_esc_sql('x', attr=True)} || '"/>'), ''), '')
   || coalesce(array_to_string(list_transform(experiments,
-       x -> '<EXPERIMENT_REF accession="' || x || '"/>'), ''), '')
+       x -> '<EXPERIMENT_REF accession="' || {_esc_sql('x', attr=True)} || '"/>'), ''), '')
   || coalesce(array_to_string(list_transform(runs,
-       x -> '<RUN_REF accession="' || x || '"/>'), ''), '')
+       x -> '<RUN_REF accession="' || {_esc_sql('x', attr=True)} || '"/>'), ''), '')
   || coalesce(array_to_string(list_transform(related_analyses,
-       x -> '<ANALYSIS_REF accession="' || x || '"/>'), ''), '')
+       x -> '<ANALYSIS_REF accession="' || {_esc_sql('x', attr=True)} || '"/>'), ''), '')
   || '<ANALYSIS_TYPE><' || analysis_type || '/></ANALYSIS_TYPE><FILES>'
   || array_to_string(list_transform(range(1, len(file_names) + 1),
-       i -> '<FILE filename="' || file_names[i] || '" filetype="' || file_types[i]
-            || '" checksum_method="' || checksum_methods[i]
-            || '" checksum="' || checksums[i] || '"/>'), '')
+       i -> '<FILE filename="' || {_esc_sql('file_names[i]', attr=True)} || '" filetype="' || {_esc_sql('file_types[i]', attr=True)}
+            || '" checksum_method="' || {_esc_sql('checksum_methods[i]', attr=True)}
+            || '" checksum="' || {_esc_sql('checksums[i]', attr=True)} || '"/>'), '')
   || '</FILES><ANALYSIS_ATTRIBUTES>'
   || {_AN_ATTR_SQL}
   || '</ANALYSIS_ATTRIBUTES></ANALYSIS>' AS xml

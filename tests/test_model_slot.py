@@ -109,3 +109,21 @@ def test_generic_stage_custom_schema(spark):
         for r in docs.select("doc_id", "text").collect()
     }
     assert got == expect
+
+
+def test_model_lang_id_string_doc_id(spark):
+    """ADVICE r3: the output schema must derive the id column's type from
+    the input — a string doc_id previously hit the hardcoded 'long' and
+    failed in the Arrow stage."""
+    import pyspark.sql.functions as F
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(20)
+        .select(F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text")
+    )
+    out = model_lang_id_df(docs, FakeLangModel, cache_key=None)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert all(r["doc_id"].startswith("doc-") for r in rows)
