@@ -59,7 +59,6 @@ def main() -> None:
     from dcc_validate_metadata_spark.queries import relational as R
     from dcc_validate_metadata_spark.queries import trainingdata as TD
     from dcc_validate_metadata_spark.sources.image_table import load_image_table
-    from dcc_validate_metadata_spark.operators import dedup as D
 
     # -- primary metric: full validation pass over the image table --------
     # Warm-up run first: steady-state throughput is the number that matters
@@ -82,10 +81,12 @@ def main() -> None:
     rows_per_sec = BENCH_IMG_ROWS / t_validate
 
     # -- headline query pack ----------------------------------------------
-    def bench_simhash_banded(spark, sf_dir):
-        sim = D.simhash_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-        return D.simhash_pairs_banded(sim, max_hamming=12)
-
+    # Per-query warm-up (VERDICT r3 "What's wrong" #1): the single-shot
+    # harness timed whole-stage-codegen warm-up (~4-5 s absorbed by
+    # whichever dedup query ran first), so round-over-round deltas were
+    # noise. Now: run 1 = cold_sec (JIT + codegen, reported separately),
+    # runs 2-3 = warm, best-of-2 recorded as the comparable number —
+    # steady state is what a long-lived 1000-executor cluster sees.
     headline = {
         "img_validate": lambda s, d: build_violations(
             load_image_table(s, img_path), ontology=onto
@@ -97,21 +98,26 @@ def main() -> None:
         "w1_running_sum": R.w1_running_sum,
         "dd_minhash_lsh": TD.dd_minhash_lsh,
         "dd_duplicate_clusters": TD.dd_duplicate_clusters,
-        "dd_simhash_banded": bench_simhash_banded,
-        "dd_embedding_lsh": lambda s, d: D.embedding_cosine_pairs_lsh(
-            s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5
-        ),
+        "dd_simhash_banded": TD.dd_simhash_banded,
+        "dd_embedding_lsh": TD.dd_embedding_lsh,
         "ann_topk_bruteforce": TD.ann_topk_bruteforce,
         "txt_quality": TD.txt_quality,
         "dd_exact_groups": TD.dd_exact_groups,
     }
     times: dict[str, float] = {"img_validate": round(t_validate, 3)}
+    cold: dict[str, float] = {}
     for name, fn in headline.items():
         if name == "img_validate":
-            continue
+            continue  # already warmed + best-of-3 above
         t0 = time.time()
         force(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        warm_runs = []
+        for _ in range(2):
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            warm_runs.append(time.time() - t0)
+        times[name] = round(min(warm_runs), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -121,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": cold,
                 "sf": sf,
                 "rows_validated_per_sec": round(rows_per_sec, 1),
                 "img_rows": BENCH_IMG_ROWS,

@@ -4,47 +4,78 @@ Each submodule exports ``QUERIES: dict[name, (fn, oracle_sql | None)]``
 where ``fn(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is equivalent
 ANSI SQL for DuckDB over the same parquet tables. Column names/aliases are
 identical on both sides (the driver sorts columns by name before hashing).
+
+Since round 4 the whole registered pack fits the driver's CORRECTNESS
+window: the 38 single-op relational basics ride inside five fused
+composites (relational.rel_*), so EVERY SURVEY §2 operator gets a green
+driver row EVERY round instead of rotating through a 50-of-88 window.
+The per-op originals live in each module's ``PYTEST_QUERIES`` and stay
+hash-checked by tests/test_pytest_pack.py and check_oracle.py --all.
 """
 
 from __future__ import annotations
 
-# Queries the driver's CORRECTNESS gate MUST cover. The gate records only
-# the first ~50 entries of ``queries()``, so ordering is part of the
-# contract: validationpack (north-rule flagship) and trainingdata (LLM
-# pipeline ops) come first, relational basics fill the remainder.
-# tests/test_entry_contract.py asserts the window covers this list so a
-# reorder can't silently drop a must-prove query again.
+# The driver's CORRECTNESS gate records the first ~50 entries of
+# queries(). The pack is sized to fit entirely inside it; the contract
+# tests assert len(all_queries()) <= DRIVER_WINDOW and
+# set(MUST_PROVE) == set(all_queries()) so adding a query without
+# fitting it in the window fails CI, not the driver gate.
 DRIVER_WINDOW = 50
 MUST_PROVE = [
+    # validationpack — north-rule flagship + FAANG samples/experiments
     "img_validate",
     "img_verdicts",
+    "img_column_stats",
+    "img_dup_phash",
+    "img_phash_neardup",
+    "img_drift_hist",
+    "img_annotated_overlay",
     "samples_faang_schema",
     "samples_faang_onto",
     "g2_catalog_joins",
     "j12_taxon_enrichment",
     "s8_biosamples_json",
+    "av_audio_features",
+    "av_video_frames",
     "s9_ena_sample_xml",
     "s9b_ena_run_xml",
     "s9c_ena_experiment_xml",
     "s9d_ena_study_xml",
     "s9e_ena_analysis_xml",
     "s9f_ena_submission_xml",
+    "samples_date_unit",
+    "samples_breed_check",
+    "samples_label_match",
+    "rel_violations",
+    # trainingdata — LLM-pipeline ops (scale paths oracle-certified)
+    "txt_filter_pipeline",
+    "dd_exact_groups",
+    "dd_jaccard_pairs",
+    "dd_minhash_lsh",
+    "dd_duplicate_clusters",
+    "dd_simhash",
+    "dd_simhash_banded",
+    "dd_embedding_lsh",
+    "ann_topk_bruteforce",
+    "ann_ivf_fullprobe",
+    "ann_lsh_recall",
+    "txt_token_counts",
+    "txt_token_counts_bpe",
+    "txt_quality",
+    "txt_lang_id",
+    "txt_fingerprints",
+    "txt_perplexity",
+    "txt_repetition",
+    # relational — 3 standalone + 5 fused composites covering the §2
+    # P/J/A/O/U/F/W inventory
     "p7b_multimatch_analyzed",
     "p7c_multimatch_bm25",
     "w2_sessionization",
-    "txt_filter_pipeline",
-    "av_audio_features",
-    "av_video_frames",
-    "img_phash_neardup",
-    "txt_token_counts",
-    "txt_quality",
-    "txt_perplexity",
-    "txt_repetition",
-    "dd_exact_groups",
-    "dd_minhash_lsh",
-    "dd_duplicate_clusters",
-    "ann_topk_bruteforce",
-    "ann_ivf_fullprobe",
+    "rel_filters",
+    "rel_joins",
+    "rel_aggs",
+    "rel_sorts",
+    "rel_scalars",
 ]
 
 
@@ -57,4 +88,20 @@ def all_queries() -> dict:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
+    return out
+
+
+def pytest_pack_queries() -> dict:
+    """Per-op originals demoted from the driver window — still full
+    (fn, oracle_sql) pairs, hash-checked by pytest and check_oracle
+    --all."""
+    from . import relational, trainingdata
+
+    out = {}
+    for mod in (trainingdata, relational):
+        pq = getattr(mod, "PYTEST_QUERIES", {})
+        overlap = out.keys() & pq.keys()
+        if overlap:
+            raise ValueError(f"duplicate pytest-pack names: {overlap}")
+        out.update(pq)
     return out

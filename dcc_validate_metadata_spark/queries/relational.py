@@ -1133,14 +1133,330 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Fused driver-window composites (VERDICT r3 #1)
+#
+# The driver's CORRECTNESS gate records only the first 50 queries() rows,
+# which cannot certify 45 single-op relational queries alongside the
+# flagship + training packs each round. Each composite below UNIONs the
+# UNCHANGED per-op queries — the same functions, the same plans — onto a
+# normalized (op, k1, k2, n, x) row shape with one fused DuckDB oracle
+# built from the same per-op SQL, so one green driver row per composite
+# certifies every member op every round. The per-op originals stay in
+# PYTEST_QUERIES and are hash-checked by tests/test_pytest_pack.py.
+# ---------------------------------------------------------------------------
+
+from functools import reduce as _reduce
+
+
+def _tag(df, op, k1, k2=None, n=None, x=None):
+    """Project a per-op result onto the shared composite row shape."""
+    return df.select(
+        F.lit(op).alias("op"),
+        k1.cast("string").alias("k1"),
+        (k2 if k2 is not None else F.lit(None)).cast("string").alias("k2"),
+        (n if n is not None else F.lit(None)).cast("long").alias("n"),
+        (x if x is not None else F.lit(None)).cast("double").alias("x"),
+    )
+
+
+def _wrap_sql(op, inner, k1, k2="NULL", n="NULL", x="NULL"):
+    """Wrap a per-op oracle as one normalized UNION ALL member."""
+    return (
+        f"SELECT '{op}' AS op, ({k1})::VARCHAR AS k1, ({k2})::VARCHAR AS k2,\n"
+        f"       ({n})::BIGINT AS n, ({x})::DOUBLE AS x\n"
+        f"FROM ({inner.strip()}) t"
+    )
+
+
+def _fuse_sql(*parts: str) -> str:
+    return "SELECT op, k1, k2, n, x FROM (\n" + "\nUNION ALL\n".join(parts) + "\n)\nORDER BY op, k1, k2"
+
+
+def _cat(*cols) -> F.Column:
+    """Null-propagating concat with every operand cast to string —
+    matches DuckDB's ``||`` semantics (concat_ws would skip nulls)."""
+    return F.concat(*[c.cast("string") for c in cols])
+
+
+def rel_filters(spark, sf_dir):
+    """P1 + P3-P7 + P9-P11 fused: structure projection with NULL fill,
+    terms/negated/array/wildcard/multimatch predicates, id lookup,
+    safe-name guard, record-name derivation — each member is the
+    unchanged single-op query, tagged and unioned."""
+    parts = [
+        _tag(
+            p1_structure_projection(spark, sf_dir), "p1",
+            k1=F.col("c_custkey"),
+            k2=_cat(F.col("c_name"), F.lit("|"),
+                    F.coalesce(F.col("c_phone"), F.lit("?")), F.lit("|"),
+                    F.coalesce(F.col("c_comment"), F.lit("?"))),
+        ),
+        _tag(
+            p3_terms_filter(spark, sf_dir), "p3",
+            k1=_cat(F.col("l_orderkey"), F.lit(":"), F.col("l_linenumber")),
+            k2=F.col("l_returnflag"), x=F.col("l_quantity"),
+        ),
+        _tag(p4_negated_filter(spark, sf_dir), "p4",
+             k1=F.col("event_type"), n=F.col("cnt")),
+        _tag(p5_array_predicate(spark, sf_dir), "p5",
+             k1=F.col("doc_id"), k2=F.col("lang")),
+        _tag(p6_wildcard_like(spark, sf_dir), "p6",
+             k1=F.col("c_custkey"), k2=F.col("c_name")),
+        _tag(p7_multimatch(spark, sf_dir), "p7",
+             k1=F.col("doc_id"), n=F.col("n_chars")),
+        _tag(
+            p9_id_lookup(spark, sf_dir), "p9",
+            k1=F.col("c_custkey"),
+            k2=_cat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")),
+            n=F.col("c_nationkey"),
+        ),
+        _tag(p10_safe_name(spark, sf_dir), "p10",
+             k1=F.col("is_safe"), n=F.col("cnt")),
+        _tag(p11_record_name(spark, sf_dir), "p11",
+             k1=F.col("o_orderkey"), k2=F.col("rec_name")),
+    ]
+    return _reduce(DataFrame.unionByName, parts).orderBy("op", "k1", "k2")
+
+
+REL_FILTERS_SQL = _fuse_sql(
+    _wrap_sql("p1", P1_SQL, "c_custkey",
+              "c_name || '|' || coalesce(c_phone, '?') || '|' || coalesce(c_comment, '?')"),
+    _wrap_sql("p3", P3_SQL, "l_orderkey || ':' || l_linenumber",
+              "l_returnflag", x="l_quantity"),
+    _wrap_sql("p4", P4_SQL, "event_type", n="cnt"),
+    _wrap_sql("p5", P5_SQL, "doc_id", "lang"),
+    _wrap_sql("p6", P6_SQL, "c_custkey", "c_name"),
+    _wrap_sql("p7", P7_SQL, "doc_id", n="n_chars"),
+    _wrap_sql("p9", P9_SQL, "c_custkey", "c_name || '|' || c_mktsegment",
+              n="c_nationkey"),
+    _wrap_sql("p10", P10_SQL, "is_safe", n="cnt"),
+    _wrap_sql("p11", P11_SQL, "o_orderkey", "rec_name"),
+)
+
+
+def rel_joins(spark, sf_dir):
+    """J1-J3 + J5 + J6 + J9 + J11 + the GraphQL join surface (G1) fused:
+    hash join + re-agg, semi/anti joins, multi-way broadcast tree,
+    self-join, derived back-link, left-join nesting."""
+    parts = [
+        _tag(j1_join_agg(spark, sf_dir), "j1",
+             k1=F.col("c_mktsegment"), n=F.col("n_orders"), x=F.col("sum_price")),
+        _tag(j2_semi_join(spark, sf_dir), "j2",
+             k1=F.col("c_custkey"), k2=F.col("c_name")),
+        _tag(j3_multiway_join(spark, sf_dir), "j3",
+             k1=F.col("r_name"), n=F.col("n_items"), x=F.col("revenue")),
+        _tag(j5_anti_join(spark, sf_dir), "j5",
+             k1=F.col("c_mktsegment"), n=F.col("n_without_urgent")),
+        _tag(j6_broadcast_lookup(spark, sf_dir), "j6",
+             k1=F.col("n_name"), n=F.col("n_suppliers"), x=F.col("avg_bal")),
+        _tag(j9_self_join(spark, sf_dir), "j9",
+             k1=_cat(F.col("n_regionkey"), F.lit(":"), F.col("name_a")),
+             k2=F.col("name_b")),
+        _tag(j11_derived_backlink(spark, sf_dir), "j11", k1=F.col("l_orderkey")),
+        _tag(g1_joined_fetch(spark, sf_dir), "g1",
+             k1=F.col("c_custkey"), n=F.col("n_orders"), x=F.col("total")),
+    ]
+    return _reduce(DataFrame.unionByName, parts).orderBy("op", "k1", "k2")
+
+
+REL_JOINS_SQL = _fuse_sql(
+    _wrap_sql("j1", J1_SQL, "c_mktsegment", n="n_orders", x="sum_price"),
+    _wrap_sql("j2", J2_SQL, "c_custkey", "c_name"),
+    _wrap_sql("j3", J3_SQL, "r_name", n="n_items", x="revenue"),
+    _wrap_sql("j5", J5_SQL, "c_mktsegment", n="n_without_urgent"),
+    _wrap_sql("j6", J6_SQL, "n_name", n="n_suppliers", x="avg_bal"),
+    _wrap_sql("j9", J9_SQL, "n_regionkey || ':' || name_a", "name_b"),
+    _wrap_sql("j11", J11_SQL, "l_orderkey"),
+    _wrap_sql("g1", G1_JOINED_SQL, "c_custkey", n="n_orders", x="total"),
+)
+
+
+_A7_METRICS = ["n_rows", "qty_min", "qty_max", "qty_mean", "qty_nulls",
+               "disc_min", "disc_max"]
+_Q1_METRICS = ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty",
+               "count_order"]
+
+
+def _explode_metrics(df, key_col, metrics):
+    """One (key, metric, value) row per metric column — lets a
+    single-row/wide agg ride the shared composite shape."""
+    m = F.explode(
+        F.array(*[
+            F.struct(F.lit(name).alias("k2"), F.col(name).cast("double").alias("x"))
+            for name in metrics
+        ])
+    ).alias("m")
+    return df.select(key_col.alias("k1"), m).select(
+        "k1", F.col("m.k2").alias("k2"), F.col("m.x").alias("x")
+    )
+
+
+def _unnest_metrics_sql(op, inner, key_sql, metrics):
+    structs = ", ".join(
+        f"{{'k2': '{name}', 'x': {name}::DOUBLE}}" for name in metrics
+    )
+    return (
+        f"SELECT '{op}' AS op, ({key_sql})::VARCHAR AS k1, (u['k2'])::VARCHAR AS k2,\n"
+        f"       NULL::BIGINT AS n, (u['x'])::DOUBLE AS x\n"
+        f"FROM ({inner.strip()}) t, UNNEST([{structs}]) AS mm(u)"
+    )
+
+
+def rel_aggs(spark, sf_dir):
+    """A1-A7 + the TPC-H Q1 rollup fused: terms/nested/missing/hit-count
+    aggs, verdict rollup, distinct sets, column profile (unpivoted to one
+    row per metric), pricing summary (one row per group x metric)."""
+    parts = [
+        _tag(a1_terms_top(spark, sf_dir), "a1",
+             k1=F.col("event_type"), n=F.col("cnt")),
+        _tag(a2_json_agg(spark, sf_dir), "a2",
+             k1=F.col("k_mod"),
+             k2=_cat(F.col("k_min"), F.lit(":"), F.col("k_max")),
+             n=F.col("cnt")),
+        _tag(a3_null_counts(spark, sf_dir), "a3",
+             k1=F.lit("events"),
+             k2=_cat(F.col("n_null_value"), F.lit(":"), F.col("n_null_props")),
+             n=F.col("n_rows")),
+        _tag(a4_hit_count(spark, sf_dir), "a4",
+             k1=F.lit("total_hits"), n=F.col("total_hits")),
+        _tag(a5_verdict_rollup(spark, sf_dir), "a5",
+             k1=F.col("o_orderpriority"), k2=F.col("fail"), n=F.col("n_orders")),
+        _tag(a6_distinct_sets(spark, sf_dir), "a6",
+             k1=F.col("event_type"), n=F.col("n_users")),
+        _tag(
+            _explode_metrics(a7_column_stats(spark, sf_dir),
+                             F.lit("lineitem"), _A7_METRICS),
+            "a7", k1=F.col("k1"), k2=F.col("k2"), x=F.col("x"),
+        ),
+        _tag(
+            _explode_metrics(
+                q1_pricing_summary(spark, sf_dir),
+                _cat(F.col("l_returnflag"), F.lit(":"), F.col("l_linestatus")),
+                _Q1_METRICS,
+            ),
+            "q1", k1=F.col("k1"), k2=F.col("k2"), x=F.col("x"),
+        ),
+    ]
+    return _reduce(DataFrame.unionByName, parts).orderBy("op", "k1", "k2")
+
+
+REL_AGGS_SQL = _fuse_sql(
+    _wrap_sql("a1", A1_SQL, "event_type", n="cnt"),
+    _wrap_sql("a2", A2_SQL, "k_mod", "k_min || ':' || k_max", n="cnt"),
+    _wrap_sql("a3", A3_SQL, "'events'", "n_null_value || ':' || n_null_props",
+              n="n_rows"),
+    _wrap_sql("a4", A4_SQL, "'total_hits'", n="total_hits"),
+    _wrap_sql("a5", A5_SQL, "o_orderpriority", "fail", n="n_orders"),
+    _wrap_sql("a6", A6_SQL, "event_type", n="n_users"),
+    _unnest_metrics_sql("a7", A7_SQL, "'lineitem'", _A7_METRICS),
+    _unnest_metrics_sql("q1", Q1_SQL, "l_returnflag || ':' || l_linestatus",
+                        _Q1_METRICS),
+)
+
+
+def rel_sorts(spark, sf_dir):
+    """O1-O3 + W1 + U1/U2 + the REST-search/facet surfaces (S1/S2) fused:
+    top-k sorts, per-group pagination windows, running sums, fan-out
+    union + dedup, ES-DSL filters/sort/offset/source pruning, fused
+    multi-field facets."""
+    parts = [
+        _tag(o1_sort_topk(spark, sf_dir), "o1",
+             k1=F.col("o_orderkey"), x=F.col("o_totalprice")),
+        _tag(o2_sort_by_len(spark, sf_dir), "o2",
+             k1=F.col("doc_id"), n=F.col("text_len")),
+        _tag(o3_window_topn(spark, sf_dir), "o3",
+             k1=_cat(F.col("c_mktsegment"), F.lit(":"), F.col("rank")),
+             k2=F.col("c_custkey"), x=F.col("c_acctbal")),
+        _tag(w1_running_sum(spark, sf_dir), "w1",
+             k1=_cat(F.col("user_id"), F.lit(":"), F.col("event_id")),
+             x=F.col("running_value")),
+        _tag(u1_union_fanout(spark, sf_dir), "u1",
+             k1=F.col("o_orderstatus"), n=F.col("cnt")),
+        _tag(u2_distinct_pairs(spark, sf_dir), "u2",
+             k1=_cat(F.col("l_returnflag"), F.lit(":"), F.col("l_linestatus"))),
+        _tag(s1_search_api(spark, sf_dir), "s1",
+             k1=F.col("event_id"), k2=F.col("event_type"), n=F.col("user_id")),
+        _tag(s2_terms_aggs(spark, sf_dir), "s2",
+             k1=_cat(F.col("field"), F.lit(":"), F.col("rank")),
+             k2=F.col("value"), n=F.col("cnt")),
+    ]
+    return _reduce(DataFrame.unionByName, parts).orderBy("op", "k1", "k2")
+
+
+REL_SORTS_SQL = _fuse_sql(
+    _wrap_sql("o1", O1_SQL, "o_orderkey", x="o_totalprice"),
+    _wrap_sql("o2", O2_SQL, "doc_id", n="text_len"),
+    _wrap_sql("o3", O3_SQL, "c_mktsegment || ':' || rank", "c_custkey",
+              x="c_acctbal"),
+    _wrap_sql("w1", W1_SQL, "user_id || ':' || event_id", x="running_value"),
+    _wrap_sql("u1", U1_SQL, "o_orderstatus", n="cnt"),
+    _wrap_sql("u2", U2_SQL, "l_returnflag || ':' || l_linestatus"),
+    _wrap_sql("s1", S1_SEARCH_SQL, "event_id", "event_type", n="user_id"),
+    _wrap_sql("s2", S2_TERMS_SQL, "field || ':' || rank", "value", n="cnt"),
+)
+
+
+def rel_scalars(spark, sf_dir):
+    """F1-F5 + F8 + F10-F12 fused: snake/case transforms, date bucketing,
+    zero padding, lowercase label match, nested flatten, array join,
+    checksum accounting, JSON→struct parse."""
+    parts = [
+        _tag(f1_snake_case(spark, sf_dir), "f1", k1=F.col("snake")),
+        _tag(f2_case_transforms(spark, sf_dir), "f2",
+             k1=F.col("snake"),
+             k2=_cat(F.col("upper_name"), F.lit("|"), F.col("display"))),
+        _tag(f3_date_agg(spark, sf_dir), "f3",
+             k1=F.col("ym"), n=F.col("n_orders"), x=F.col("sum_price")),
+        _tag(f4_leading_zero(spark, sf_dir), "f4",
+             k1=F.col("p_partkey"),
+             k2=_cat(F.col("size_padded"), F.lit("|"), F.col("key_padded"))),
+        _tag(f5_lower_label_match(spark, sf_dir), "f5",
+             k1=F.col("label"), n=F.col("n")),
+        _tag(f8_nested_flatten(spark, sf_dir), "f8",
+             k1=F.col("c_custkey"),
+             k2=_cat(F.col("doc_name"), F.lit("|"), F.col("doc_meta_segment"))),
+        _tag(f10_array_join(spark, sf_dir), "f10",
+             k1=F.col("l_orderkey"), k2=F.col("lines")),
+        _tag(f11_checksum(spark, sf_dir), "f11",
+             k1=F.col("c_custkey"),
+             k2=_cat(F.col("name_md5"), F.lit(":"), F.col("name_len"))),
+        _tag(f12_json_struct(spark, sf_dir), "f12",
+             k1=F.col("event_id"), n=F.col("k")),
+    ]
+    return _reduce(DataFrame.unionByName, parts).orderBy("op", "k1", "k2")
+
+
+REL_SCALARS_SQL = _fuse_sql(
+    _wrap_sql("f1", F1_SQL, "snake"),
+    _wrap_sql("f2", F2_SQL, "snake", "upper_name || '|' || display"),
+    _wrap_sql("f3", F3_SQL, "ym", n="n_orders", x="sum_price"),
+    _wrap_sql("f4", F4_SQL, "p_partkey", "size_padded || '|' || key_padded"),
+    _wrap_sql("f5", F5_SQL, "label", n="n"),
+    _wrap_sql("f8", F8_SQL, "c_custkey", "doc_name || '|' || doc_meta_segment"),
+    _wrap_sql("f10", F10_SQL, "l_orderkey", "lines"),
+    _wrap_sql("f11", F11_SQL, "c_custkey", "name_md5 || ':' || name_len"),
+    _wrap_sql("f12", F12_SQL, "event_id", n="k"),
+)
+
+
+# Driver-window pack: 8 relational rows (3 standalone + 5 composites)
+# certify every SURVEY §2 P/J/A/O/U/F/W row each round.
 QUERIES = {
-    # round-3 additions FIRST: the driver's CORRECTNESS gate records only
-    # the first ~50 of all_queries() (validationpack + trainingdata fill
-    # 40 slots), so the relational entries with no driver-green history
-    # must precede the ones the gate already proved in rounds 1-2
     "p7b_multimatch_analyzed": (p7b_multimatch_analyzed, P7B_SQL),
     "p7c_multimatch_bm25": (p7c_multimatch_bm25, P7C_SQL),
     "w2_sessionization": (w2_sessionization, W2_SQL),
+    "rel_filters": (rel_filters, REL_FILTERS_SQL),
+    "rel_joins": (rel_joins, REL_JOINS_SQL),
+    "rel_aggs": (rel_aggs, REL_AGGS_SQL),
+    "rel_sorts": (rel_sorts, REL_SORTS_SQL),
+    "rel_scalars": (rel_scalars, REL_SCALARS_SQL),
+}
+
+# Per-op originals: hash-checked by tests/test_pytest_pack.py at sf0.001
+# (and scripts/check_oracle.py --all at any sf); out of the driver window
+# because their composites above already certify them there.
+PYTEST_QUERIES = {
     "a1_terms_top": (a1_terms_top, A1_SQL),
     "a2_json_agg": (a2_json_agg, A2_SQL),
     "a3_null_counts": (a3_null_counts, A3_SQL),

@@ -237,7 +237,9 @@ def _simhash_sql() -> str:
 
 
 def dd_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs, Hamming <= 12 of 60 bits."""
+    """SimHash near-dup pairs, Hamming <= 12 of 60 bits — brute-force
+    cross-join baseline; pytest-pack oracle duty only (the driver-window
+    query is dd_simhash_banded, the plan you'd run at scale)."""
     sim = D.simhash_df(_docs(spark, sf_dir))
     return D.simhash_pairs(sim, max_hamming=SIMHASH_MAX_HAMMING).orderBy("id_a", "id_b")
 
@@ -248,6 +250,41 @@ WITH {_simhash_cte()}
 SELECT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM simhashes a JOIN simhashes b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+SIMHASH_N_BANDS = 4  # 4 x 15-bit bands over the 60-bit hash
+
+
+def dd_simhash_banded(spark, sf_dir):
+    """SimHash near-dup pairs through the BANDED scale path: the 60-bit
+    hash splits into 4 exact-match 15-bit bands, the cross join shrinks
+    to per-bucket joins, and Hamming <= 12 verifies within buckets. The
+    band split is deterministic bit arithmetic, so the DuckDB oracle
+    replays it exactly — this certifies the plan you'd actually run at
+    10^12 docs (recall-bounded at radius >= n_bands by design; the
+    exactness-vs-brute equivalence at radius < n_bands is pytest-pinned
+    in test_operators)."""
+    sim = D.simhash_df(_docs(spark, sf_dir))
+    return D.simhash_pairs_banded(
+        sim, max_hamming=SIMHASH_MAX_HAMMING, n_bands=SIMHASH_N_BANDS
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_banded_sql() -> str:
+    width = SIMHASH_BITS // SIMHASH_N_BANDS
+    mask = (1 << width) - 1
+    return f"""
+WITH {_simhash_cte()},
+bands AS (
+  SELECT id, simhash, b AS band, (simhash >> (b * {width})) & {mask} AS key
+  FROM simhashes, UNNEST(range(0, {SIMHASH_N_BANDS})) AS t(b)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY id_a, id_b
 """
@@ -265,6 +302,59 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {COSINE_T}
+ORDER BY id_a, id_b
+"""
+
+
+# Sign-LSH plane literals shared by the engine and the DuckDB oracles:
+# hyperplanes() is a seeded numpy draw, repr() round-trips every double
+# exactly, so both engines bucket with bit-identical plane values.
+LSH_N_BITS = 6
+LSH_DIM = 64
+# lower threshold than the brute twin's 0.5: the synthetic corpus has ~1
+# pair at 0.5, which would make the LSH oracle row trivially empty — at
+# 0.2 the sf0.01 slice yields ~240 within-bucket pairs, so the hash is
+# sensitive to every bucket assignment and every cosine
+LSH_COSINE_T = 0.2
+_LSH_PLANES = S.hyperplanes(LSH_DIM, LSH_N_BITS, seed=42)
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """DuckDB expression mirroring similarity.lsh_bucket: bit i set when
+    <v, plane_i> > 0 (list_dot_product — same left-to-right accumulation
+    as Spark's sequential F.aggregate fold)."""
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(_LSH_PLANES)
+    )
+    return f"({terms})"
+
+
+def dd_embedding_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup through the sign-LSH scale path: bucket
+    on 6 deterministic hyperplane signs, exact cosine only within buckets
+    (O(N^2/2^bits) pairs). The plane values are seeded literals shared
+    with the DuckDB oracle, so the bucket split — the part that matters
+    at 10^12 vectors — is hash-certified, not just recall-sampled; the
+    brute-force twin stays in the pytest pack."""
+    return D.embedding_cosine_pairs_lsh(
+        _embs(spark, sf_dir), threshold=LSH_COSINE_T, n_bits=LSH_N_BITS, dim=LSH_DIM
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_lsh_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       floor(list_cosine_similarity(a.v, b.v) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+WHERE floor(list_cosine_similarity(a.v, b.v) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {LSH_COSINE_T}
 ORDER BY id_a, id_b
 """
 
@@ -299,19 +389,119 @@ ORDER BY q_id, rank
 
 def ann_lsh_bucketed(spark, sf_dir):
     """Sign-LSH-bucketed ANN (single probe) — the scale path. Recall < 1
-    by design, so there is no SQL oracle (driver records rows-only)."""
+    by design; raw top-k is approximate, so the DRIVER-facing proof is
+    ann_lsh_recall (exact per-query recall vs brute force, both sides
+    DuckDB-replayable); pytest pins recall floors on this raw form."""
     return S.ann_lsh_bucketed(
-        _embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, n_bits=6, dim=64
+        _embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, n_bits=LSH_N_BITS, dim=LSH_DIM
     ).orderBy("q_id", "rank")
 
 
 def ann_lsh_multiprobe(spark, sf_dir):
     """Multi-probe sign-LSH ANN: each query also probes the Hamming-1
     neighbor buckets — the standard recall lever without extra tables.
-    Approximate like the single-probe path (rows-only check)."""
+    Approximate like the single-probe path; driver proof via
+    ann_lsh_recall."""
     return S.ann_lsh_multiprobe(
-        _embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, n_bits=6, dim=64
+        _embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, n_bits=LSH_N_BITS, dim=LSH_DIM
     ).orderBy("q_id", "rank")
+
+
+def ann_lsh_recall(spark, sf_dir):
+    """EXACT correctness row for the approximate ANN paths: per query and
+    probe mode, how many of the true top-k the LSH bucket scan returned —
+    (mode, q_id, n_returned, n_hits, recall). Every input to the number is
+    deterministic (seeded plane literals, md5-free integer buckets, tie
+    break on id), so DuckDB recomputes the identical quantity from the
+    same literals and the driver gate goes fully green — recall<1 stops
+    being an excuse for a rows-only check."""
+    from ..operators.dedup import round4
+
+    emb = _embs(spark, sf_dir)
+    brute = S.cosine_topk(emb, ANN_QUERY_IDS, k=ANN_K).select("q_id", "id")
+    base = brute.select("q_id").distinct()
+
+    def _recall(approx, mode):
+        returned = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_returned"))
+        hit = (
+            approx.join(brute, ["q_id", "id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            base.join(returned, "q_id", "left")
+            .join(hit, "q_id", "left")
+            .select(
+                F.lit(mode).alias("mode"),
+                "q_id",
+                F.coalesce("n_returned", F.lit(0)).cast("long").alias("n_returned"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                round4(
+                    F.coalesce("n_hits", F.lit(0)) / F.lit(float(ANN_K))
+                ).alias("recall"),
+            )
+        )
+
+    single = S.ann_lsh_bucketed(
+        emb, ANN_QUERY_IDS, k=ANN_K, n_bits=LSH_N_BITS, dim=LSH_DIM
+    ).select("q_id", "id")
+    multi = S.ann_lsh_multiprobe(
+        emb, ANN_QUERY_IDS, k=ANN_K, n_bits=LSH_N_BITS, dim=LSH_DIM
+    ).select("q_id", "id")
+    return (
+        _recall(single, "single")
+        .unionByName(_recall(multi, "multi"))
+        .orderBy("mode", "q_id")
+    )
+
+
+def _ann_lsh_recall_sql() -> str:
+    # multi-probe = own bucket + all Hamming-1 buckets in plane-sign
+    # space ≡ bit_count(xor(bucket, q_bucket)) <= 1; single probe ≡ == 0
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT id AS q_id, v AS qv, bucket AS qb FROM e
+  WHERE id IN ({', '.join(map(str, ANN_QUERY_IDS))})
+),
+brute AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, e.id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY list_cosine_similarity(qv, e.v) DESC, e.id) AS rank
+    FROM q JOIN e ON e.id <> q_id
+  ) WHERE rank <= {ANN_K}
+),
+modes(mode, maxham) AS (VALUES ('single', 0), ('multi', 1)),
+approx AS (
+  SELECT mode, q_id, id FROM (
+    SELECT m.mode, q.q_id, e.id,
+           row_number() OVER (PARTITION BY m.mode, q.q_id
+                              ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.id) AS rank
+    FROM modes m
+    CROSS JOIN q
+    JOIN e ON e.id <> q.q_id AND bit_count(xor(e.bucket::BIGINT, q.qb::BIGINT)) <= m.maxham
+  ) WHERE rank <= {ANN_K}
+),
+returned AS (SELECT mode, q_id, count(*) AS n_returned FROM approx GROUP BY 1, 2),
+hits AS (
+  SELECT mode, q_id, count(*) AS n_hits
+  FROM approx JOIN brute USING (q_id, id) GROUP BY 1, 2
+)
+SELECT m.mode, b.q_id,
+       coalesce(r.n_returned, 0)::BIGINT AS n_returned,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       floor(coalesce(h.n_hits, 0)::DOUBLE / {float(ANN_K)} * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS recall
+FROM modes m
+CROSS JOIN (SELECT DISTINCT q_id FROM brute) b
+LEFT JOIN returned r ON r.mode = m.mode AND r.q_id = b.q_id
+LEFT JOIN hits h ON h.mode = m.mode AND h.q_id = b.q_id
+ORDER BY 1, 2
+"""
 
 
 _IVF_LISTS = 8
@@ -613,6 +803,10 @@ ORDER BY q.doc_id
 """
 
 
+# Driver-window pack (every entry gets a CORRECTNESS row each round):
+# the banded/bucketed SCALE paths are the oracle-certified queries; the
+# quadratic brute-force twins moved to PYTEST_QUERIES (still hash-checked
+# vs DuckDB, just by pytest at sf0.001 instead of burning driver slots).
 QUERIES = {
     "txt_filter_pipeline": (txt_filter_pipeline, _filter_pipeline_sql()),
     "dd_exact_groups": (dd_exact_groups, DD_EXACT_SQL),
@@ -620,12 +814,11 @@ QUERIES = {
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
     "dd_duplicate_clusters": (dd_duplicate_clusters, _clusters_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),
-    "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
-    "dd_embedding_pairs": (dd_embedding_pairs, DD_EMBED_SQL),
+    "dd_simhash_banded": (dd_simhash_banded, _simhash_banded_sql()),
+    "dd_embedding_lsh": (dd_embedding_lsh, _embedding_lsh_sql()),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_SQL),
     "ann_ivf_fullprobe": (ann_ivf_fullprobe, ANN_SQL),
-    "ann_lsh_bucketed": (ann_lsh_bucketed, None),
-    "ann_lsh_multiprobe": (ann_lsh_multiprobe, None),
+    "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
     "txt_token_counts": (txt_token_counts, TXT_TOKENS_SQL),
     "txt_token_counts_bpe": (txt_token_counts_bpe, TXT_BPE_SQL),
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),
@@ -633,4 +826,11 @@ QUERIES = {
     "txt_fingerprints": (txt_fingerprints, TXT_FP_SQL),
     "txt_perplexity": (txt_perplexity, TXT_PPL_SQL),
     "txt_repetition": (txt_repetition, TXT_REP_SQL),
+}
+
+# Hash-checked by tests/test_pytest_pack.py (and check_oracle --all);
+# excluded from the driver window so the 50 slots go to distinct §2 ops.
+PYTEST_QUERIES = {
+    "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
+    "dd_embedding_pairs": (dd_embedding_pairs, DD_EMBED_SQL),
 }

@@ -92,17 +92,25 @@ def resolve_headers(df: DataFrame, spec: SheetSpec) -> HeaderResolution:
     )
 
 
+def _qcol(name: str) -> F.Column:
+    """Column reference by EXACT name: human-authored headers may carry
+    dots ("conc. corrected") or pandas-dedup suffixes ("x.1"), which a
+    bare F.col() would misread as struct access. Backticks quote the
+    whole identifier (embedded backticks doubled per Spark's rule)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _cell(df: DataFrame, col: str) -> F.Column:
     """Field-cell struct {value, units, term}: sibling ``col__units`` /
     ``col__term`` columns fold in; absent siblings become NULL members."""
     units = (
-        F.col(col + UNITS_SUFFIX) if col + UNITS_SUFFIX in df.columns else F.lit(None)
+        _qcol(col + UNITS_SUFFIX) if col + UNITS_SUFFIX in df.columns else F.lit(None)
     )
     term = (
-        F.col(col + TERM_SUFFIX) if col + TERM_SUFFIX in df.columns else F.lit(None)
+        _qcol(col + TERM_SUFFIX) if col + TERM_SUFFIX in df.columns else F.lit(None)
     )
     return F.struct(
-        F.col(col).cast("string").alias("value"),
+        _qcol(col).cast("string").alias("value"),
         units.cast("string").alias("units"),
         term.cast("string").alias("term"),
     )
@@ -137,15 +145,15 @@ def validate_sheet(
     resolved = {**res.core, **res.type_}
 
     cols = [
-        F.when(F.trim(F.col(col).cast("string")) == "", None)
-        .otherwise(F.col(col).cast("string"))
+        F.when(F.trim(_qcol(col).cast("string")) == "", None)
+        .otherwise(_qcol(col).cast("string"))
         .alias(fld)
         for fld, col in sorted(resolved.items())
     ]
     for fld, col in sorted(resolved.items()):
         for suffix in (UNITS_SUFFIX, TERM_SUFFIX):
             if col + suffix in df.columns:
-                cols.append(F.col(col + suffix).cast("string").alias(fld + suffix))
+                cols.append(_qcol(col + suffix).cast("string").alias(fld + suffix))
     # global row numbers for the "{sheet}_{i}" fallback name: a single-task
     # window, acceptable ONLY because sheets are human-authored workbooks
     # (10^3-10^5 rows). Machine-scale tables go through the columnar
@@ -154,7 +162,7 @@ def validate_sheet(
     flat = df.select(row_num.alias("_row"), *cols)
     name = (
         F.coalesce(
-            F.col(name_field) if name_field in resolved else F.lit(None),
+            _qcol(name_field) if name_field in resolved else F.lit(None),
             F.concat(F.lit(f"{spec.name}_"), F.col("_row").cast("string")),
         ).alias("name")
     )
@@ -221,7 +229,7 @@ def project_records(df: DataFrame, spec: SheetSpec) -> tuple[DataFrame, HeaderRe
 
     def cell(col: str) -> F.Column:
         c = _cell(df, col)
-        return F.when(F.trim(F.col(col).cast("string")) == "", None).otherwise(c)
+        return F.when(F.trim(_qcol(col).cast("string")) == "", None).otherwise(c)
 
     sections = []
     if res.core:
@@ -241,7 +249,7 @@ def project_records(df: DataFrame, spec: SheetSpec) -> tuple[DataFrame, HeaderRe
         sections.append(
             F.struct(
                 *[
-                    F.col(c).cast("string").alias(c)
+                    _qcol(c).cast("string").alias(c)
                     for c in res.custom
                 ]
             ).alias("custom")

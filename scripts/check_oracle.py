@@ -3,7 +3,10 @@ entry in Spark and its oracle_sql() twin in DuckDB at a given sf dir,
 compare row count, sorted column names, and an order-insensitive value
 hash. Usage:
 
-    python scripts/check_oracle.py [sf_dir] [query_name ...]
+    python scripts/check_oracle.py [--all] [sf_dir] [query_name ...]
+
+``--all`` additionally runs the PYTEST_QUERIES pack (per-op originals
+demoted from the driver window in r4).
 """
 
 from __future__ import annotations
@@ -52,8 +55,10 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    include_pytest_pack = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -76,6 +81,13 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if include_pytest_pack:
+        from dcc_validate_metadata_spark.queries import pytest_pack_queries
+
+        for name, (fn, sql) in pytest_pack_queries().items():
+            qs[name] = fn
+            if sql is not None:
+                oracles[name] = sql
 
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():

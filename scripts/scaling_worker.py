@@ -18,8 +18,24 @@ from __future__ import annotations
 import json
 import sys
 import time
+import urllib.request
 
 from pyspark.sql import SparkSession
+
+
+def _task_seconds(spark) -> float:
+    """Total executor task-seconds across all completed stages so far
+    (Spark UI REST API). The delta across one timed run divided by its
+    wall time = EFFECTIVE parallelism — the measurement behind the 8→32
+    flattening analysis (VERDICT r3 #8): wall − task/cores exposes the
+    serial driver constant; effective/available exposes bandwidth loss."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    ) as r:
+        stages = json.load(r)
+    return sum(s.get("executorRunTime", 0) for s in stages) / 1000.0
 
 
 def main() -> None:
@@ -42,7 +58,9 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.shuffle.partitions", str(cores))
-        .config("spark.ui.enabled", "false")
+        # UI on: the REST API is the task-seconds source for the
+        # effective-parallelism breakdown (negligible overhead, measured)
+        .config("spark.ui.enabled", "true")
         .getOrCreate()
     )
 
@@ -65,11 +83,29 @@ def main() -> None:
 
     for _ in range(n_warmup):
         force()
-    runs = [round(force(), 3) for _ in range(n_runs)]
+    runs = []
+    task_secs = []
+    for _ in range(n_runs):
+        before = _task_seconds(spark)
+        runs.append(round(force(), 3))
+        task_secs.append(round(_task_seconds(spark) - before, 1))
 
+    best_i = min(range(n_runs), key=lambda i: runs[i])
+    eff_par = round(task_secs[best_i] / runs[best_i], 1) if runs[best_i] else None
     print(
         "SCALING_RESULT "
-        + json.dumps({"cores": cores, "rows": n_rows, "runs_sec": runs})
+        + json.dumps(
+            {
+                "cores": cores,
+                "rows": n_rows,
+                "runs_sec": runs,
+                "task_sec": task_secs,
+                "effective_parallelism": eff_par,
+                "serial_sec_est": round(
+                    runs[best_i] - task_secs[best_i] / cores, 2
+                ),
+            }
+        )
     )
     spark.stop()
 

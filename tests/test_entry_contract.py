@@ -12,8 +12,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-EXPECTED_QUERY_COUNT = 88
-NO_ORACLE = {"ann_lsh_bucketed", "ann_lsh_multiprobe"}  # recall<1 by design
+EXPECTED_QUERY_COUNT = 50  # whole pack fits the driver window since r4
+NO_ORACLE = set()  # every registered query has a DuckDB oracle since r4
 
 
 def test_entry_contract_clean_subprocess():
@@ -68,6 +68,25 @@ def test_driver_window_covers_must_prove():
     window = list(all_queries())[:DRIVER_WINDOW]
     missing = [n for n in MUST_PROVE if n not in window]
     assert not missing, f"must-prove queries outside driver window: {missing}"
+    # r4 invariant: the ENTIRE pack fits the window and MUST_PROVE names
+    # every query — no operator's proof can rotate out between rounds
+    assert len(all_queries()) <= DRIVER_WINDOW
+    assert set(MUST_PROVE) == set(all_queries())
+
+
+def test_pytest_pack_disjoint_and_oracled():
+    """The demoted per-op queries keep full (fn, sql) oracle pairs and
+    never shadow a driver-pack name."""
+    from dcc_validate_metadata_spark.queries import (
+        all_queries,
+        pytest_pack_queries,
+    )
+
+    pp = pytest_pack_queries()
+    assert len(pp) >= 40
+    assert not (set(pp) & set(all_queries()))
+    assert all(callable(fn) and isinstance(sql, str) and sql.strip()
+               for fn, sql in pp.values())
 
 
 def test_fixture_rebuilds_after_tmp_wipe(tmp_path, monkeypatch):
