@@ -129,6 +129,14 @@ def main() -> None:
             "rows_per_sec": round(r["rows"] / best, 1),
             "rows": r["rows"],
         }
+        if "task_sec" in r:
+            best_i = r["runs_sec"].index(best)
+            results[cores].update(
+                task_sec=r["task_sec"],
+                task_sec_best=r["task_sec"][best_i],
+                effective_parallelism=r.get("effective_parallelism"),
+                serial_sec_est=r.get("serial_sec_est"),
+            )
         print(
             f"local[{cores}]: {r['runs_sec']} -> {results[cores]['rows_per_sec']} rows/s",
             file=sys.stderr,
@@ -151,6 +159,7 @@ def main() -> None:
 
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     lines = [
+        "<!-- scaling:begin -->",
         "# BENCH — scaling-efficiency evidence (north rule)",
         "",
         f"Generated by `python scripts/scaling_bench.py` on {stamp}.",
@@ -222,7 +231,58 @@ def main() -> None:
             "rule's N→4N executor comparison probes.",
             "",
         ]
-    Path(REPO / "BENCH.md").write_text("\n".join(lines))
+    if any("task_sec" in r for r in results.values()):
+        lines += [
+            "## Serial-vs-parallel breakdown (the 8→32 constant, measured)",
+            "",
+            "Task-seconds come from the Spark UI REST API (sum of stage",
+            "executorRunTime across the best timed run). `effective` =",
+            "task-seconds / wall — the parallelism the job actually",
+            "achieved; `serial est.` = wall − task/cores — driver-side",
+            "planning, broadcast builds, Python worker handshakes.",
+            "",
+            "| parallelism | best wall (s) | task-seconds | effective ∥ | ∥ utilization | serial est. (s) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for c in all_levels:
+            r = results[c]
+            eff_par = r.get("effective_parallelism")
+            util = round(eff_par / c, 2) if eff_par else None
+            lines.append(
+                f"| local[{c}] | {r['best_sec']} | {r.get('task_sec_best', '—')} "
+                f"| {eff_par} | {util} | {r.get('serial_sec_est', '—')} |"
+            )
+        lines += [
+            "",
+            "Reading: if utilization stays near 1.0 through local[8] and",
+            "decays at 16/32 while task-seconds RISE (same work, slower",
+            "per-task memory access), the flattening is single-host",
+            "memory-bandwidth physics plus the fixed serial constant — not",
+            "a shuffle or skew property of the plan, so it does not",
+            "extrapolate to a multi-host cluster where each executor owns",
+            "its own memory bus.",
+            "",
+        ]
+    lines.append("<!-- scaling:end -->")
+
+    bench = Path(REPO / "BENCH.md")
+    new_block = "\n".join(lines)
+    if bench.exists() and "<!-- scaling:end -->" in bench.read_text():
+        # replace only our own region; later appended sections survive
+        text = bench.read_text()
+        pre = text[: text.index("<!-- scaling:begin -->")]
+        post = text[text.index("<!-- scaling:end -->") + len("<!-- scaling:end -->") :]
+        bench.write_text(pre + new_block + post)
+    elif bench.exists():
+        # legacy layout: our block was everything up to the first section
+        # this script never wrote; keep all round-note sections (they all
+        # start at '## Sustained scale')
+        text = bench.read_text()
+        cut = text.find("## Sustained scale")
+        tail = ("\n\n" + text[cut:]) if cut != -1 else ""
+        bench.write_text(new_block + tail)
+    else:
+        bench.write_text(new_block + "\n")
     print(json.dumps(summary))
 
 

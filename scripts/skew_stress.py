@@ -96,33 +96,64 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # ---- planted tables --------------------------------------------------
+    # sf0.1's events/documents tables are small (100k / 5k rows — they
+    # exist for correctness oracles); amplify x50 so the hot key is a
+    # genuine stress: 5M events with ONE user holding 1M of them, 250k
+    # docs with the hottest query term in half. Uniform twins get the
+    # same amplification so the comparison isolates the skew.
+    AMP = 50
     skew_dir = Path("/tmp/dcc_vm_skew_sf01")
-    shutil.rmtree(skew_dir, ignore_errors=True)
-    skew_dir.mkdir(parents=True)
+    base_dir = Path("/tmp/dcc_vm_skew_uniform_sf01")
+    for d in (skew_dir, base_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        d.mkdir(parents=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(AMP - 1))).alias("r")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    n_events = ev.count()
-    # one user takes every 5th event => ~20% of the corpus on one key
-    ev.withColumn(
+    amped = ev.select("*", rep).select(
+        (F.col("event_id") * AMP + F.col("r")).alias("event_id"),
+        # distinct per-replica users so the uniform twin stays uniform
+        (F.col("user_id") * AMP + F.col("r")).alias("user_id"),
+        "event_type",
+        "ts",
+        "value",
+        "props",
+        F.col("event_id").alias("_orig"),
+    )
+    # repartition before writing: the amplified frames inherit the tiny
+    # source's 1-2 input splits, which would serialize the scan stage of
+    # every measured query (1-task "stress" measures nothing)
+    amped.drop("_orig").repartition(32).write.parquet(str(base_dir / "events.parquet"))
+    # one user takes every 5th original event => ~20% of 5M on one key
+    amped.withColumn(
         "user_id",
-        F.when(F.col("event_id") % 5 == 0, F.lit(999_999_999)).otherwise(
+        F.when(F.col("_orig") % 5 == 0, F.lit(999_999_999)).otherwise(
             F.col("user_id")
         ),
-    ).write.parquet(str(skew_dir / "events.parquet"))
+    ).drop("_orig").repartition(32).write.parquet(str(skew_dir / "events.parquet"))
+    n_events = ev.count() * AMP
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    n_docs = docs.count()
+    damped = docs.select("*", rep).select(
+        (F.col("doc_id") * AMP + F.col("r")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    damped.repartition(32).write.parquet(str(base_dir / "documents.parquet"))
     # every 2nd doc gains the hottest query term => 'spark' df_t ~ 50%
-    docs.withColumn(
+    damped.withColumn(
         "text",
         F.when(
             F.col("doc_id") % 2 == 0,
             F.concat(F.col("text"), F.lit(" spark spark spark")),
         ).otherwise(F.col("text")),
-    ).write.parquet(str(skew_dir / "documents.parquet"))
+    ).repartition(32).write.parquet(str(skew_dir / "documents.parquet"))
+    n_docs = docs.count() * AMP
 
     results: dict[str, dict] = {}
 
     # ---- w2 sessionization ----------------------------------------------
-    base_sec = _timed(lambda: force(w2_sessionization(spark, SF_DIR)))
+    base_sec = _timed(lambda: force(w2_sessionization(spark, str(base_dir))))
     before = _completed_stage_ids(spark)
     skew_sec = _timed(lambda: force(w2_sessionization(spark, str(skew_dir))))
     stage = _heaviest_new_stage(spark, before)
@@ -142,7 +173,7 @@ def main() -> None:
     }
 
     # ---- p7c BM25 --------------------------------------------------------
-    base_sec = _timed(lambda: force(p7c_multimatch_bm25(spark, SF_DIR)))
+    base_sec = _timed(lambda: force(p7c_multimatch_bm25(spark, str(base_dir))))
     before = _completed_stage_ids(spark)
     skew_sec = _timed(lambda: force(p7c_multimatch_bm25(spark, str(skew_dir))))
     stage = _heaviest_new_stage(spark, before)
