@@ -22,25 +22,39 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-# Same table the scaling bench uses (600k rows, 64x64 RGB) so the headline
+# Same table the scaling bench uses (600k rows, 32x32 RGB) so the headline
 # rows-validated/sec and the BENCH.md scaling curve measure one workload.
+# hw dropped 64->32 in round 4 when the jpeg leg became a REAL baseline-JFIF
+# decode (images/jpeg.py): real 32x32 entropy decode is ~5x the per-row work
+# of the old deflate stand-in at 64x64, so the workload got heavier, not
+# lighter. The path embeds the fixture CONTENT_VERSION so a cached table
+# from the stand-in era can never leak into the new numbers.
 BENCH_IMG_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_ROWS", "600000"))
-BENCH_IMG_HW = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_HW", "64"))
-BENCH_IMG_DIR = f"/tmp/dcc_vm_scale_n{BENCH_IMG_ROWS}_hw{BENCH_IMG_HW}_s42_b8"
+BENCH_IMG_HW = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_HW", "32"))
+
+
+def _bench_img_dir() -> str:
+    from dcc_validate_metadata_spark.sources.image_table import CONTENT_VERSION
+
+    return (
+        f"/tmp/dcc_vm_scale_n{BENCH_IMG_ROWS}_hw{BENCH_IMG_HW}_s42_b8"
+        f"_v{CONTENT_VERSION}"
+    )
 
 
 def ensure_bench_image_table(spark) -> str:
-    marker = Path(BENCH_IMG_DIR) / "_SUCCESS_GEN"
+    bench_dir = _bench_img_dir()
+    marker = Path(bench_dir) / "_SUCCESS_GEN"
     if not marker.exists():
         from dcc_validate_metadata_spark.sources.image_table import (
             generate_image_table_distributed,
         )
 
         generate_image_table_distributed(
-            spark, BENCH_IMG_DIR, n_rows=BENCH_IMG_ROWS, hw=BENCH_IMG_HW
+            spark, bench_dir, n_rows=BENCH_IMG_ROWS, hw=BENCH_IMG_HW
         )
         marker.touch()
-    return BENCH_IMG_DIR
+    return bench_dir
 
 
 def force(df) -> None:

@@ -11,11 +11,16 @@ This container has no image libraries (no PIL / cv2 / imageio), so:
 * ``png`` is a REAL codec — a minimal but spec-correct PNG encoder/decoder
   (8-bit RGB, all five scanline filters on decode, filter 0 on encode)
   built on stdlib ``zlib``/``struct`` + numpy. Lossless round-trip.
-* ``jpeg`` / ``webp`` are DETERMINISTIC STAND-INS: a quantize-then-deflate
-  container (magic ``FAKL``). They model the *lossy* property honestly —
-  decoded pixels differ from ground truth by a bounded quantization error
+* ``jpeg`` is a REAL codec — baseline JFIF (T.81) implemented from the
+  public spec in ``images/jpeg.py`` (DCT + Annex-K quantization + Huffman
+  entropy coding, readable by any standard decoder). Lossy: at the
+  default quality (98) quantization bounds the error well above the
+  40 dB PSNR invariant threshold for in-gamut content.
+* ``webp`` is a DETERMINISTIC STAND-IN: a quantize-then-deflate container
+  (magic ``FAKL``). It models the *lossy* property honestly — decoded
+  pixels differ from ground truth by a bounded quantization error
   (q=6 → PSNR ≈ 43 dB > 40 dB threshold) — so the PSNR invariant math is
-  real even though the entropy coding is not JPEG's. Swap ``encode_lossy``
+  real even though the entropy coding is not VP8's. Swap ``encode_lossy``
   / ``decode_lossy`` for a real library on a production cluster; every
   Spark-side signature stays identical.
 
@@ -30,9 +35,13 @@ import zlib
 
 import numpy as np
 
+from . import jpeg as _jpeg
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8\xff"
 _FAKE_MAGIC = b"FAKL"
 _LOSSY_Q = 6  # quantization step; MSE ~ q^2/12 = 3 → PSNR ~ 43 dB
+JPEG_QUALITY = 98  # fixture-content PSNR ~44 dB >> 40 dB threshold
 
 LOSSY_FORMATS = frozenset({"jpeg", "webp"})
 
@@ -164,6 +173,8 @@ def decode_lossy(data: bytes) -> tuple[np.ndarray, str]:
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "jpeg":
+        return _jpeg.encode_jpeg(pixels, quality=JPEG_QUALITY)
     if fmt in LOSSY_FORMATS:
         return encode_lossy(pixels, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -173,6 +184,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     """Sniff-and-decode. Returns (pixels, container_fmt)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data), "png"
+    if data[:3] == _JPEG_SIG:
+        return _jpeg.decode_jpeg(data), "jpeg"
     if data[:4] == _FAKE_MAGIC:
         return decode_lossy(data)
     raise ValueError("unrecognized image container")

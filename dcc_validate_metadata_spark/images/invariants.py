@@ -11,6 +11,14 @@ because binary cells inflate batches — SURVEY.md §7.3). Two entry points:
 * ``invariant_violations`` — north-rule invariant vs ground truth: decoded
   pixels PSNR >= 40 dB (lossy) / exact (lossless), caption equality.
   Ground truth joins in by image_id before the UDF stage.
+* ``fused_decode_violations`` — BOTH of the above in ONE Arrow stage with
+  ONE decode per row and ONE scan of ``bytes``. Entropy decode is the
+  pipeline's dominant cost now that ``jpeg`` is a real T.81 codec, so the
+  validation pipeline uses this whenever ground truth is available; the
+  split entry points remain for gt-less callers and for the per-family
+  unit tests. Ground truth LEFT-joins in (presence flagged by ``gt_w``),
+  so rows without a gt record still get the structural checks — the same
+  row set the split pair produces.
 """
 
 from __future__ import annotations
@@ -83,6 +91,90 @@ def decode_check_violations(
                     emit(i, "bytes", M.msg_dims_mismatch(dw, dh, w, h))
                 if container != fmt_l[i]:
                     emit(i, "bytes", M.msg_fmt_mismatch(container, fmt_l[i]))
+            out = pd.DataFrame(rows)
+            out["field"], out["severity"], out["message"] = fields, sevs, msgs
+            yield out
+
+    return src.mapInPandas(check, schema=schema)
+
+
+def fused_decode_violations(
+    df: DataFrame,
+    gt: DataFrame,
+    keep_cols: list[str],
+    missing_msg: str | None = None,
+    psnr_min: float = 40.0,
+) -> DataFrame:
+    """Structural decode checks + ground-truth invariants, one decode per
+    row. Emits exactly the union of ``decode_check_violations(df, ...)``
+    and ``invariant_violations(df, gt, ...)`` (row order aside): the gt
+    join is LEFT, with ``gt_w``'s non-nullness as the presence flag, so
+    structural checks cover every row while caption/PSNR checks fire only
+    where the split pair's inner join would have produced a row."""
+    keep = list(keep_cols)
+    needed = list(
+        dict.fromkeys(keep + ["image_id", "bytes", "w", "h", "fmt", "caption"])
+    )
+    src = df.select(*needed).join(
+        gt.select("image_id", "gt_pixels", "gt_w", "gt_h", "gt_caption"),
+        on="image_id",
+        how="left",
+    )
+    schema = _viol_schema(keep, df)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            keep_l = {c: b[c].tolist() for c in keep}
+            id_l = b["image_id"].tolist()
+            data_l = b["bytes"].tolist()
+            w_l, h_l, fmt_l = b["w"].tolist(), b["h"].tolist(), b["fmt"].tolist()
+            cap_l, gcap_l = b["caption"].tolist(), b["gt_caption"].tolist()
+            gw_l, gh_l = b["gt_w"].tolist(), b["gt_h"].tolist()
+            gpix_l = b["gt_pixels"].tolist()
+            rows = {c: [] for c in keep}
+            fields, sevs, msgs = [], [], []
+
+            def emit(i: int, fld: str, msg: str) -> None:
+                for c in keep:
+                    rows[c].append(keep_l[c][i])
+                fields.append(fld)
+                sevs.append("error")
+                msgs.append(msg)
+
+            for i, data in enumerate(data_l):
+                has_gt = gw_l[i] is not None and not (
+                    isinstance(gw_l[i], float) and np.isnan(gw_l[i])
+                )
+                if has_gt:
+                    cap, gcap = cap_l[i], gcap_l[i]
+                    if (cap if cap is not None else "") != (
+                        gcap if gcap is not None else ""
+                    ):
+                        emit(i, "caption", M.msg_caption_mismatch(id_l[i]))
+                if data is None:
+                    if missing_msg is not None:
+                        emit(i, "bytes", missing_msg)
+                    continue
+                try:
+                    pix, container = decode_image(bytes(data))
+                except Exception as e:  # noqa: BLE001
+                    emit(i, "bytes", M.msg_decode_failed(str(e)))
+                    continue
+                dh, dw = pix.shape[:2]
+                w, h = w_l[i], h_l[i]
+                if dw != w or dh != h:
+                    emit(i, "bytes", M.msg_dims_mismatch(dw, dh, w, h))
+                if container != fmt_l[i]:
+                    emit(i, "bytes", M.msg_fmt_mismatch(container, fmt_l[i]))
+                if not has_gt:
+                    continue
+                gw, gh = int(gw_l[i]), int(gh_l[i])
+                gpix = np.frombuffer(bytes(gpix_l[i]), dtype=np.uint8)
+                if gpix.size != gh * gw * 3 or pix.shape != (gh, gw, 3):
+                    continue  # dims mismatch already reported above
+                p = psnr(pix, gpix.reshape(gh, gw, 3))
+                if p < psnr_min:
+                    emit(i, "bytes", M.msg_psnr(p, psnr_min))
             out = pd.DataFrame(rows)
             out["field"], out["severity"], out["message"] = fields, sevs, msgs
             yield out

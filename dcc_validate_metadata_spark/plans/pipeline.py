@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import __version__
-from ..images.invariants import decode_check_violations, invariant_violations
+from ..images.invariants import (
+    decode_check_violations,
+    fused_decode_violations,
+)
 from ..rules.model import Ruleset, default_image_ruleset
 from .manifest import Manifest
 
@@ -165,11 +168,20 @@ def build_violations(
 
     parts = [fused]
     if ruleset.udf_rules:
-        parts.append(
-            decode_check_violations(df, KEEP, missing_msg=binary_missing_msg)
-        )
         if gt is not None:
-            parts.append(invariant_violations(df, gt, KEEP, psnr_min=psnr_min))
+            # ONE decode per row for structural + invariant checks: entropy
+            # decode dominates since jpeg became a real T.81 codec, and the
+            # split pair would decode (and scan `bytes`) twice
+            parts.append(
+                fused_decode_violations(
+                    df, gt, KEEP,
+                    missing_msg=binary_missing_msg, psnr_min=psnr_min,
+                )
+            )
+        else:
+            parts.append(
+                decode_check_violations(df, KEEP, missing_msg=binary_missing_msg)
+            )
     return reduce(DataFrame.unionByName, parts)
 
 

@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 FIXTURE_ROWS = 1010
 FIXTURE_BUCKETS = 4
 FIXTURE_SEED = 42
-FIXTURE_VERSION = 6  # bump when fixture contents change (forces a rebuild)
+from ..sources.image_table import CONTENT_VERSION  # noqa: E402
+
+# Fixture version = image CONTENT_VERSION + a local rev for non-image
+# fixture content (AV clips, sheets, ...). Bumping the local rev rebuilds
+# the 1010-row fixture WITHOUT invalidating the 600k-row bench/scale
+# image tables (those embed CONTENT_VERSION only).
+FIXTURE_REV = 1  # rev 1: ADPCM audio + MJPEG video clips planted
+FIXTURE_VERSION = f"{CONTENT_VERSION}.{FIXTURE_REV}"
 FIX_DIR = Path(
     f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}"
     f"_v{FIXTURE_VERSION}"
@@ -434,13 +441,19 @@ def _write_taxon_fixture(out_dir: Path) -> None:
 
 
 def _write_audio_fixture(out_dir: Path) -> None:
-    """Multimodal audio fixture: 48 deterministic PCM WAV clips (sine +
-    seeded noise floor) plus golden features computed directly on the
-    quantized int16 signal — independent of the engine's decode path."""
+    """Multimodal audio fixture: 48 deterministic clips (sine + seeded
+    noise floor) — every 6th encoded as REAL IMA ADPCM (4-bit compressed,
+    tag 0x11), the rest 16-bit PCM WAV — plus golden features computed
+    directly on the locally-decoded signal, independent of the engine's
+    Spark path (codec fidelity itself is pinned by unit tests)."""
     import numpy as np
     import pandas as pd
 
-    from ..multimodal.av import encode_pcm_wav
+    from ..multimodal.av import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+        encode_pcm_wav,
+    )
 
     clips, gold = [], []
     for i in range(48):
@@ -451,7 +464,15 @@ def _write_audio_fixture(out_dir: Path) -> None:
         t = np.arange(int(sr * dur)) / sr
         rng = np.random.default_rng(1000 + i)
         sig = amp * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(len(t))
-        data = encode_pcm_wav(sig, sr)
+        adpcm = i % 6 == 5  # 8 of 48 clips exercise the compressed codec
+        if adpcm:
+            data = encode_ima_adpcm_wav(sig, sr)
+            x, _ = decode_ima_adpcm_wav(data)  # golden = decoded samples
+        else:
+            data = encode_pcm_wav(sig, sr)
+            # golden from the quantized signal (what 16-bit PCM stores)
+            q = np.clip(sig, -1, 1)
+            x = (q * 32767.0).astype("<i2").astype(np.float32) / 32767.0
         clips.append(
             {
                 "clip_id": f"clip_{i:03d}",
@@ -459,12 +480,9 @@ def _write_audio_fixture(out_dir: Path) -> None:
                 "sample_rate": sr,
                 "n_channels": 1,
                 "duration_sec": dur,
-                "codec": "pcm_wav",
+                "codec": "ima_adpcm" if adpcm else "pcm_wav",
             }
         )
-        # golden from the quantized signal (what 16-bit PCM actually stores)
-        q = np.clip(sig, -1, 1)
-        x = (q * 32767.0).astype("<i2").astype(np.float32) / 32767.0
         gold.append(
             {
                 "clip_id": f"clip_{i:03d}",
@@ -478,15 +496,17 @@ def _write_audio_fixture(out_dir: Path) -> None:
 
 
 def _write_video_fixture(out_dir: Path) -> None:
-    """Multimodal video fixture: 12 deterministic uncompressed-AVI clips
-    (moving gradient + seeded noise, varied fps/size/length incl. a
-    row-padded odd width) plus golden per-sampled-frame channel means
-    computed directly on the generated frames — independent of the
-    engine's decode path."""
+    """Multimodal video fixture: 12 deterministic AVI clips (moving
+    gradient + seeded noise, varied fps/size/length incl. a row-padded
+    odd width) — every 4th encoded as REAL Motion-JPEG (each frame an
+    independent baseline-JFIF stream), the rest uncompressed DIB — plus
+    golden per-sampled-frame channel means computed directly on the
+    locally-decoded frames, independent of the engine's Spark path
+    (codec fidelity itself is pinned by unit tests)."""
     import numpy as np
     import pandas as pd
 
-    from ..multimodal.av import encode_avi
+    from ..multimodal.av import decode_avi, encode_avi
 
     clips, gold = [], []
     for i in range(12):
@@ -504,7 +524,10 @@ def _write_video_fixture(out_dir: Path) -> None:
                 [base, (base * 2) % 256, (255 - base)], axis=2
             ) + rng.uniform(-8, 8, size=(h, w, 3))
             frames.append(np.clip(frame, 0, 255).astype(np.uint8))
-        data = encode_avi(frames, fps=fps)
+        mjpeg = i % 4 == 3  # 3 of 12 clips exercise the compressed codec
+        data = encode_avi(frames, fps=fps, codec="mjpeg" if mjpeg else "rawvideo")
+        if mjpeg:
+            frames = decode_avi(data)[0]  # golden = decoded frames
         clips.append(
             {
                 "clip_id": f"vid_{i:03d}",
@@ -513,7 +536,7 @@ def _write_video_fixture(out_dir: Path) -> None:
                 "duration_sec": n_frames / fps,
                 "w": w,
                 "h": h,
-                "codec": "rawvideo",
+                "codec": "mjpeg" if mjpeg else "rawvideo",
             }
         )
         step = max(1, int(round(1.0 * fps)))  # every_sec=1.0 sampling

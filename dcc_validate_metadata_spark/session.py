@@ -30,6 +30,14 @@ _BASE_CONF = {
     # a batch of 32x32 RGB PNGs stays ~10 MB (SURVEY.md §7.3)
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.parquet.compression.codec": "zstd",
+    # Split sizing follows CPU cost, not just bytes: an Arrow decode stage
+    # (real JPEG entropy decode) spends ~100x more CPU per input byte than
+    # a columnar scan, and scan-stage parallelism == input splits (no
+    # shuffle before mapInPandas). The 128m default leaves a 600k-row
+    # 0.8 GB image table with ~6 splits — 6 of 32 cores decoding. 16m
+    # keeps decode stages core-bound locally; a real cluster would keep
+    # 128m for pure-columnar jobs and shrink it for decode-heavy ones.
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "16g",

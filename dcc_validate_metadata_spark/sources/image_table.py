@@ -55,6 +55,11 @@ IMAGE_SCHEMA = T.StructType(
 
 PARTITION_COLS = ["fmt", "bucket"]
 
+# Bump whenever _gen_row's OUTPUT changes (pixel content, codecs, plants):
+# every cached fixture/scale-table path embeds it, so stale /tmp tables
+# from an older content regime can never be silently reused.
+CONTENT_VERSION = 7  # v7: real baseline-JFIF jpeg rows + smooth pixel fields
+
 _VOCAB = (
     "holstein cattle graze upland pasture sunrise over fjord trawler nets "
     "gleam market stalls carry ripe figs drummers rehearse beneath neon "
@@ -86,6 +91,31 @@ def _bucket_of(image_id: str, n_buckets: int) -> int:
     return zlib.crc32(image_id.encode()) % n_buckets
 
 
+def _smooth_pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Photograph-shaped content: a bilinear-upsampled low-frequency random
+    field plus mild sensor noise (sigma=2). Chosen over raw uniform noise
+    once ``jpeg`` became a real codec — noise is JPEG's worst case (every
+    AC coefficient survives), while smooth-plus-texture is both what real
+    corpora look like and what the entropy decoder's throughput is sized
+    for. Variation lives at the 4px scale, so the 8x8 phash grid still
+    sees near-independent bits (near-dup banding stays non-degenerate)."""
+    base = rng.uniform(0.0, 255.0, size=(5, 5, 3))
+    ys = np.linspace(0.0, 4.0, h)
+    xs = np.linspace(0.0, 4.0, w)
+    y0 = np.minimum(ys.astype(np.int64), 3)
+    x0 = np.minimum(xs.astype(np.int64), 3)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    img = (
+        base[y0][:, x0] * (1 - fy) * (1 - fx)
+        + base[y0][:, x0 + 1] * (1 - fy) * fx
+        + base[y0 + 1][:, x0] * fy * (1 - fx)
+        + base[y0 + 1][:, x0 + 1] * fy * fx
+    )
+    img = img + rng.normal(0.0, 2.0, size=img.shape)
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
 def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
     rng = np.random.default_rng(seed * 1_000_003 + idx)
     slot = idx % _CYCLE
@@ -93,7 +123,7 @@ def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
     w = h = hw
     if slot == 95:
         w, h = hw, hw // 2  # rectangular so swapped declares actually mismatch
-    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    pixels = _smooth_pixels(rng, h, w)
 
     r = rng.random()
     fmt = "jpeg" if r < 0.80 else ("png" if r < 0.95 else "webp")
@@ -139,8 +169,10 @@ def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
 
     if enc_fmt == "png":
         data = codec.encode_png(data_pixels)
+    elif enc_fmt == "jpeg":
+        data = codec.encode_image(data_pixels, "jpeg")  # real baseline JFIF
     else:
-        # lossy stand-in container also carries unknown planted fmts (bmp)
+        # lossy stand-in container carries webp + unknown planted fmts (bmp)
         data = codec.encode_lossy(data_pixels, enc_fmt)
     if slot == 85:
         data = data[:10]  # corrupt: decode failure

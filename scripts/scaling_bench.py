@@ -46,7 +46,9 @@ def build_zip(dest: Path) -> Path:
 
 
 def ensure_table(rows: int, hw: int) -> str:
-    path = f"/tmp/dcc_vm_scale_n{rows}_hw{hw}_s42_b8"
+    from dcc_validate_metadata_spark.sources.image_table import CONTENT_VERSION
+
+    path = f"/tmp/dcc_vm_scale_n{rows}_hw{hw}_s42_b8_v{CONTENT_VERSION}"
     marker = Path(path) / "_SUCCESS_GEN"
     if marker.exists():
         return path
@@ -94,8 +96,10 @@ def run_level(zpath: Path, table: str, cores: int, warmup: int, runs: int) -> di
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    # hw 64->32 in round 4: the jpeg leg became real baseline-JFIF entropy
+    # decode (~5x the per-row CPU of the old 64x64 deflate stand-in).
     ap.add_argument("--rows", type=int, default=600_000)
-    ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--hw", type=int, default=32)
     ap.add_argument("--levels", default="2,8", help="headline N,4N pair")
     ap.add_argument(
         "--curve-levels",

@@ -57,6 +57,9 @@ def main() -> None:
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # decode-stage parallelism == input splits; 16m keeps the 0.8 GB
+        # 32x32 image table core-bound (see session._BASE_CONF rationale)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(cores))
         # UI on: the REST API is the task-seconds source for the
         # effective-parallelism breakdown (negligible overhead, measured)

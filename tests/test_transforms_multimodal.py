@@ -204,7 +204,7 @@ def test_unsupported_pcm_width_not_mislabeled():
     data = buf.getvalue()
     meta = {"sample_rate": 8000, "n_channels": 1, "duration_sec": 0.0125,
             "codec": "pcm_wav"}
-    with pytest.raises(NotImplementedError, match="PCM WAV variant"):
+    with pytest.raises(NotImplementedError, match="WAV variant"):
         _decode_audio(data, meta, fake=False)
     out = _decode_audio(data, meta, fake=True)
     assert isinstance(out, np.ndarray)
@@ -296,3 +296,136 @@ def test_truncated_avi_header_falls_to_stub(spark):
     get_frame, n, fps = _clip_decoder(truncated, meta, fake=True)
     assert n == 4 and fps == 2.0
     assert get_frame(0).shape == (3, 4, 3)
+
+
+def test_ima_adpcm_roundtrip():
+    """Real IMA ADPCM codec: 4:1 compressed WAV (tag 0x11) round-trips
+    within the codec's adaptive-step error bound on band-limited audio,
+    and the RIFF writer/parser agree on block layout + fact-chunk length."""
+    from dcc_validate_metadata_spark.multimodal.av import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+        wav_format_tag,
+    )
+
+    sr = 8000
+    t = np.arange(int(sr * 0.5)) / sr
+    sig = 0.5 * np.sin(2 * np.pi * 220.0 * t) + 0.1 * np.sin(
+        2 * np.pi * 700.0 * t
+    )
+    data = encode_ima_adpcm_wav(sig, sr)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert wav_format_tag(data) == 0x11
+    # genuinely compressed: ~4 bits/sample vs 16
+    assert len(data) < len(sig) * 16 // 8 // 3
+    back, got_sr = decode_ima_adpcm_wav(data)
+    assert got_sr == sr and len(back) == len(sig)
+    # SNR of the decoded signal vs the float input (codec is lossy but
+    # must track band-limited content closely)
+    err = back - sig.astype(np.float32)
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean(err**2))
+    assert snr > 20.0, snr
+
+
+def test_adpcm_through_audio_features(spark):
+    """ADPCM WAV decodes for REAL through the Spark audio-features stage
+    (no fake flag): features computed from the decoded samples match a
+    direct local decode of the same payload."""
+    from pyspark.sql import functions as F
+
+    from dcc_validate_metadata_spark.multimodal.av import (
+        audio_features,
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig = 0.4 * np.sin(2 * np.pi * 330.0 * t)
+    data = encode_ima_adpcm_wav(sig, sr)
+    df = spark.createDataFrame(
+        [("a1", bytearray(data), sr, 1, 1.0, "ima_adpcm")],
+        "clip_id string, bytes binary, sample_rate int, n_channels int, "
+        "duration_sec double, codec string",
+    ).select(
+        "clip_id",
+        "bytes",
+        F.struct(
+            "sample_rate", "n_channels", "duration_sec", "codec"
+        ).alias("meta"),
+    )
+    row = audio_features(df).collect()[0]
+    pcm, _ = decode_ima_adpcm_wav(data)
+    assert row["rms"] == round(float(np.sqrt(np.mean(pcm**2))), 6)
+    assert row["peak"] == round(float(np.abs(pcm).max()), 6)
+
+
+def test_mjpeg_avi_roundtrip():
+    """Motion-JPEG AVI: each frame an independent real JFIF stream; the
+    container round-trips dims/fps and decoded frames stay within the
+    JPEG quantization error bound on smooth content."""
+    from dcc_validate_metadata_spark.images.codec import psnr
+    from dcc_validate_metadata_spark.multimodal.av import decode_avi, encode_avi
+
+    rng = np.random.default_rng(21)
+    frames = []
+    for f in range(4):
+        base = rng.uniform(0, 255, size=(3, 3, 3))
+        up = np.clip(
+            np.rint(
+                np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+                + rng.normal(0, 2, size=(24, 24, 3))
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        frames.append(up)
+    data = encode_avi(frames, fps=10.0, codec="mjpeg")
+    assert b"MJPG" in data and b"00dc" in data
+    back, fps, w, h = decode_avi(data)
+    assert (fps, w, h, len(back)) == (10.0, 24, 24, 4)
+    for a, b in zip(frames, back):
+        assert psnr(a, b) >= 40.0
+
+
+def test_mjpeg_through_video_frames(spark):
+    """MJPEG AVI decodes for REAL through the Spark frame-sampling stage
+    — sampled frames match a direct local decode of the same payload."""
+    from pyspark.sql import functions as F
+
+    from dcc_validate_metadata_spark.multimodal.av import (
+        decode_avi,
+        encode_avi,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(22)
+    frames = [
+        np.clip(
+            np.rint(
+                np.repeat(
+                    np.repeat(rng.uniform(0, 255, size=(2, 2, 3)), 8, axis=0),
+                    8,
+                    axis=1,
+                )
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        for _ in range(6)
+    ]
+    data = encode_avi(frames, fps=2.0, codec="mjpeg")
+    df = spark.createDataFrame(
+        [("m1", bytearray(data), 2.0, 3.0, 16, 16, "mjpeg")],
+        "clip_id string, bytes binary, fps double, duration_sec double, "
+        "w int, h int, codec string",
+    ).select(
+        "clip_id",
+        "bytes",
+        F.struct("fps", "duration_sec", "w", "h", "codec").alias("meta"),
+    )
+    rows = sample_video_frames(df, every_sec=1.0).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    local = decode_avi(data)[0]
+    got = np.frombuffer(rows[1]["frame_bytes"], dtype=np.uint8).reshape(16, 16, 3)
+    assert np.array_equal(got, local[2])

@@ -72,3 +72,32 @@ def test_run_validation_writes_and_resumes(spark, fixture_dir, tmp_path):
     )
     assert r2.n_rows == 0
     assert r2.skipped_partitions == r1.verdicts.count()
+
+
+def test_fused_decode_equals_split_pair(spark, fixture_dir):
+    """fused_decode_violations (one decode per row) must emit exactly the
+    union of decode_check_violations + invariant_violations — the split
+    pair it replaced in the pipeline when gt is available."""
+    from dcc_validate_metadata_spark.images.invariants import (
+        decode_check_violations,
+        fused_decode_violations,
+        invariant_violations,
+    )
+    from dcc_validate_metadata_spark.plans.pipeline import KEEP
+    from dcc_validate_metadata_spark.rules import messages as M
+
+    gt = spark.read.parquet(str(fixture_dir / "image_caption_gt.parquet"))
+    df = load_image_table(spark, fixture_dir / "image_caption")
+    msg = M.msg_mandatory_missing("bytes")
+    fused = fused_decode_violations(df, gt, KEEP, missing_msg=msg).toPandas()
+    split = pd.concat(
+        [
+            decode_check_violations(df, KEEP, missing_msg=msg).toPandas(),
+            invariant_violations(df, gt, KEEP).toPandas(),
+        ],
+        ignore_index=True,
+    )
+    g = _norm(fused, VIOL_COLS)
+    e = _norm(split, VIOL_COLS)
+    assert len(g) > 0
+    pd.testing.assert_frame_equal(g, e)
