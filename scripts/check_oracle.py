@@ -57,8 +57,16 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--all"]
     include_pytest_pack = "--all" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # usage: check_oracle.py [SF_DIR] [QUERY...] [--all] — a first arg
+    # that isn't an existing directory is a query name, not a data dir
+    # (running `check_oracle.py img_validate` used to silently point
+    # every sf-dir query at ./img_validate/ and report phantom FAILs)
+    sf_dir = "/root/testdata/sf0.01"
+    if args and (Path(args[0]).is_dir() or "/" in args[0]):
+        sf_dir = args[0]
+        only = set(args[1:])
+    else:
+        only = set(args)
 
     from pyspark.sql import SparkSession
 

@@ -224,15 +224,19 @@ def main() -> None:
             "so on a real cluster throughput scales with executor count until",
             "the (tiny) reduce sides dominate — far beyond 4N.",
             "",
-            "On ONE machine the curve flattens past ~16 threads for reasons a",
-            "multi-host cluster does not share: all task threads sit in a",
-            "single driver JVM (shared GC, shared memory bandwidth for the",
-            "~5.5 GB of binary flowing through Arrow per run), and the per-job",
-            "constant (~2-4 s of AQE planning, broadcast builds, Python worker",
-            "handshakes) is serial on the one driver. In the 2→8 regime each",
-            "local thread behaves like an isolated executor core — CPU-bound,",
-            "no bandwidth contention — which is exactly the regime the north",
-            "rule's N→4N executor comparison probes.",
+            "On ONE machine the curve decays at high thread counts for",
+            "reasons a multi-host cluster does not share: all task threads",
+            "sit in a single driver JVM (shared GC, one memory bus for the",
+            "Arrow traffic, shared allocator pressure from 32 numpy-heavy",
+            "Python workers), and the per-job constant (~2-3 s of AQE",
+            "planning, broadcast builds, Python worker handshakes) is serial",
+            "on the one driver. The task-seconds column below separates the",
+            "two effects: utilization (scheduling) stays high at every",
+            "level, while per-task seconds inflate as active cores rise —",
+            "the work itself slows under single-host contention. Real",
+            "clusters add executors on SEPARATE hosts, which adds memory",
+            "buses and allocators in proportion — the regime the north",
+            "rule's N→4N executor comparison is about.",
             "",
         ]
     if any("task_sec" in r for r in results.values()):

@@ -398,3 +398,52 @@ def test_decode_determinism():
     b = jpeg.decode_jpeg(data)
     assert np.array_equal(a, b)
     assert jpeg.encode_jpeg(img, 98) == data  # encoder deterministic too
+
+
+# ---------------------------------------------------------------------------
+# Property tests (Hypothesis): random dims x quality x content classes
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(55, 100),
+    seed=st.integers(0, 2**31),
+    kind=st.sampled_from(["smooth", "noise", "flat", "stripes"]),
+)
+def test_property_roundtrip_any_dims_quality(h, w, quality, seed, kind):
+    """decode(encode(img)) must always return the exact input dims/dtype
+    and never raise; error must shrink as quality rises is covered by
+    the fixed tests — here the invariant is structural totality plus a
+    loose but universal error bound."""
+    rng = np.random.default_rng(seed)
+    if kind == "smooth":
+        img = _smooth(rng, h, w)
+    elif kind == "noise":
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    elif kind == "flat":
+        img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+    else:  # vertical stripes — high horizontal frequency
+        col = (np.arange(w) % 2) * 255
+        img = np.repeat(col[None, :, None], h, axis=0).astype(np.uint8)
+        img = np.repeat(img, 3, axis=2)
+    data = jpeg.encode_jpeg(img, quality)
+    dec = jpeg.decode_jpeg(data)
+    assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+    # universal bound: quantization error can't exceed the coarsest
+    # Annex-K step sum; in practice max |err| stays far below this
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 128, f"absurd roundtrip error {err} (q={quality})"
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31), quality=st.integers(70, 100))
+def test_property_deterministic_encode(seed, quality):
+    """Encoding is bit-deterministic — fixture/table generation depends
+    on it (same seed -> same parquet bytes -> stable oracle hashes)."""
+    img = _smooth(np.random.default_rng(seed), 24, 24)
+    assert jpeg.encode_jpeg(img, quality) == jpeg.encode_jpeg(img, quality)
