@@ -255,57 +255,6 @@ def _deblockify(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
     )
 
 
-def _encode_component(
-    writer: _BitWriter,
-    qcoefs_zz: np.ndarray,
-    dc_codes: dict[int, tuple[int, int]],
-    ac_codes: dict[int, tuple[int, int]],
-) -> None:
-    """Entropy-code one component's (n_blocks, 64) zigzag coefficients."""
-    put = writer.put
-    prev_dc = 0
-    # Precompute per-block nonzero AC positions vectorized; the Python
-    # loop then touches only surviving coefficients.
-    coef_list = qcoefs_zz.tolist()
-    for row in coef_list:
-        dc = row[0]
-        diff = dc - prev_dc
-        prev_dc = dc
-        if diff == 0:
-            size = 0
-        else:
-            mag = diff if diff > 0 else -diff
-            size = mag.bit_length()
-        code, length = dc_codes[size]
-        put(code, length)
-        if size:
-            put(diff if diff > 0 else diff + (1 << size) - 1, size)
-        run = 0
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if row[k] != 0:
-                last_nz = k
-                break
-        for k in range(1, last_nz + 1):
-            v = row[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                zc, zl = ac_codes[0xF0]  # ZRL
-                put(zc, zl)
-                run -= 16
-            mag = v if v > 0 else -v
-            size = mag.bit_length()
-            code, length = ac_codes[(run << 4) | size]
-            put(code, length)
-            put(v if v > 0 else v + (1 << size) - 1, size)
-            run = 0
-        if last_nz != 63:
-            ec, el = ac_codes[0x00]  # EOB
-            put(ec, el)
-
-
 def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
@@ -428,18 +377,21 @@ class _Component:
         self.nblocks = 0
 
 
-def _scan_words(data: bytes) -> tuple[list[int], list[tuple[int, int]]]:
-    """De-stuff the entropy segment; return 32-bit big-endian words per
-    byte offset plus (restart marker positions as byte offsets)."""
-    # Remove 0xFF 0x00 stuffing and record restart boundaries. 0xFF bytes
-    # are rare (~1/256 of the scan), so locate them all with one numpy
-    # pass and splice the clean spans between them instead of walking
-    # every byte in Python.
+def _scan_words(data: bytes) -> tuple[list[int], list[tuple[int, int]], int]:
+    """De-stuff one entropy-coded segment. Returns (32-bit big-endian
+    words per destuffed byte offset, restart-marker positions as
+    destuffed byte offsets, bytes CONSUMED in ``data`` up to the
+    terminating marker — so the caller can resume the marker walk after
+    the scan)."""
+    # 0xFF bytes are rare (~1/256 of the scan), so locate them all with
+    # one numpy pass and splice the clean spans between them instead of
+    # walking every byte in Python.
     src = np.frombuffer(data, dtype=np.uint8)
     ff_positions = np.flatnonzero(src == 0xFF)
     out = bytearray()
     restarts: list[tuple[int, int]] = []  # (byte offset in out, marker n)
     n = len(data)
+    consumed = n
     start = 0  # start of the current clean (FF-free) span
     for i in map(int, ff_positions):
         if i < start:
@@ -447,6 +399,7 @@ def _scan_words(data: bytes) -> tuple[list[int], list[tuple[int, int]]]:
         if i + 1 >= n:
             out += data[start:i]
             start = n
+            consumed = i
             break
         m = data[i + 1]
         if m == 0x00:
@@ -459,6 +412,7 @@ def _scan_words(data: bytes) -> tuple[list[int], list[tuple[int, int]]]:
         else:  # EOI or next marker — end of scan
             out += data[start:i]
             start = n
+            consumed = i
             break
     if start < n:
         out += data[start:]
@@ -470,139 +424,54 @@ def _scan_words(data: bytes) -> tuple[list[int], list[tuple[int, int]]]:
         | (arr[2:-1] << np.uint64(8))
         | arr[3:]
     )
-    return words.tolist(), restarts
+    return words.tolist(), restarts, consumed
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline 8-bit JFIF stream to (h, w, 3) uint8 RGB
-    (grayscale streams are replicated to 3 channels). Raises
-    ``ValueError`` on malformed/unsupported input."""
-    try:
-        return _decode_jpeg_inner(data)
-    except (ValueError, struct.error, IndexError) as exc:
-        raise ValueError(f"bad JPEG: {exc}") from exc
+def _decode_scan(
+    scan_bytes: bytes,
+    scan_comps: list[tuple[_Component, int, list[int], list[int]]],
+    blocks_geom: list[tuple[int, int, int, int]],
+    n_units: int,
+    restart_interval: int,
+) -> int:
+    """Entropy-decode ONE scan (the hot loop; all state in locals).
 
-
-def _decode_jpeg_inner(data: bytes) -> np.ndarray:
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("missing SOI")
-    pos = 2
-    n = len(data)
-    qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], list[int]] = {}
-    comps: list[_Component] = []
-    h = w = 0
-    restart_interval = 0
-    scan_start = -1
-
-    while pos + 4 <= n:
-        if data[pos] != 0xFF:
-            raise ValueError("marker expected")
-        marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            break
-        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        seg = data[pos + 4 : pos + 2 + seglen]
-        if len(seg) != seglen - 2:
-            raise ValueError("truncated segment")
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                tbl_zz = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
-                if tbl_zz.size != 64:
-                    raise ValueError("short DQT")
-                nat = np.zeros(64, dtype=np.int64)
-                nat[ZIGZAG] = tbl_zz
-                qtables[tq] = nat
-                p += 65
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p + 17 <= len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 15
-                bits = bytes(seg[p + 1 : p + 17])
-                count = sum(bits)
-                vals = bytes(seg[p + 17 : p + 17 + count])
-                if len(vals) != count:
-                    raise ValueError("short DHT")
-                htables[(tc, th)] = _decode_lut((bits, vals))
-                p += 17 + count
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline)
-            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
-            if nc not in (1, 3):
-                raise ValueError(f"unsupported component count {nc}")
-            for ci in range(nc):
-                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append(_Component(cid, hv >> 4, hv & 15, tq))
-            if any(c.hs not in (1, 2) or c.vs not in (1, 2) for c in comps):
-                raise ValueError("sampling factors above 2 unsupported")
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline SOF unsupported")
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
-            ns = seg[0]
-            for i in range(ns):
-                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                for c in comps:
-                    if c.cid == cs:
-                        c.td, c.ta = tdta >> 4, tdta & 15
-                        break
-                else:
-                    raise ValueError("SOS references unknown component")
-            scan_start = pos + 2 + seglen
-            break
-        # APPn / COM / others: skip
-        pos += 2 + seglen
-
-    if scan_start < 0 or not comps or h == 0 or w == 0:
-        raise ValueError("no scan data")
-    for c in comps:
-        if c.tq not in qtables:
-            raise ValueError("missing quant table")
-        if (0, c.td) not in htables or (len(comps) > 1 and (1, c.ta) not in htables):
-            # single-component scans still need the AC table
-            if (1, c.ta) not in htables:
-                raise ValueError("missing huffman table")
-
-    hmax = max(c.hs for c in comps)
-    vmax = max(c.vs for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    n_mcu = mcux * mcuy
-
-    words, restarts = _scan_words(data[scan_start:])
+    ``scan_comps``: (component, ci, dc_lut, ac_lut) per scan component.
+    ``blocks_geom``: per scan component (blocks_per_unit, bw_full,
+    units_per_row, sub-block row width) — precomputed so the per-block
+    target offset in the component's RASTER-ordered coefficient list is
+    a handful of int ops. ``n_units`` = MCUs (interleaved) or blocks
+    (single-component scan). Returns bytes consumed from ``scan_bytes``.
+    """
+    words, restarts, consumed = _scan_words(scan_bytes)
     restart_bytepos = [r[0] for r in restarts]
-
-    # Entropy decode — the hot loop. All state in locals.
-    for c in comps:
-        c.coefs = [0] * (n_mcu * c.hs * c.vs * 64)
-    comp_meta = [
-        (c, htables[(0, c.td)], htables[(1, c.ta)], c.hs * c.vs) for c in comps
-    ]
     p = 0  # bit position
-    pred = [0] * len(comps)
+    nc_scan = len(scan_comps)
+    pred = [0] * nc_scan
     next_restart = 0
     wlocal = words
-    for m in range(n_mcu):
+    meta = [
+        (c.coefs, dclut, aclut, bpm, bwf, upr, sbw)
+        for (c, _ci, dclut, aclut), (bpm, bwf, upr, sbw) in zip(
+            scan_comps, blocks_geom
+        )
+    ]
+    for m in range(n_units):
         if restart_interval and m and m % restart_interval == 0:
             # align to the recorded restart boundary
             if next_restart >= len(restart_bytepos):
                 raise ValueError("missing restart marker")
             p = restart_bytepos[next_restart] * 8
             next_restart += 1
-            pred = [0] * len(comps)
-        for ci, (c, dclut, aclut, bpm) in enumerate(comp_meta):
-            base_block = m * bpm
+            pred = [0] * nc_scan
+        for ci in range(nc_scan):
+            coefs, dclut, aclut, bpm, bwf, upr, sbw = meta[ci]
             for bi in range(bpm):
-                off = (base_block + bi) * 64
-                coefs = c.coefs
+                # raster-order target block: interleaved units advance by
+                # (vs, hs) sub-grids; single-component units are blocks
+                by = (m // upr) * (bpm // sbw) + bi // sbw
+                bx = (m % upr) * sbw + bi % sbw
+                off = (by * bwf + bx) * 64
                 # Combined peek: the 32-bit word at byte p>>3 holds the
                 # Huffman code (<=16 bits) AND usually the value bits
                 # (<=15) — one list load serves both unless the pair
@@ -664,11 +533,167 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     coefs[off + k] = v
                     k += 1
     # words has destuffed_len + 1 entries (4 pad bytes, window width 4);
-    # a complete stream ends at or before the last real byte boundary.
+    # a complete scan ends at or before the last real byte boundary.
     if (p + 7) >> 3 > len(wlocal) - 1:
         raise ValueError("scan truncated")
+    return consumed
 
-    # Dequantize + IDCT, batched per component.
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline 8-bit JFIF stream to (h, w, 3) uint8 RGB
+    (grayscale streams are replicated to 3 channels). Handles both
+    fully-interleaved scans and per-component non-interleaved scans
+    (multi-SOS), sampling factors up to 2x2, DRI/RSTn. Raises
+    ``ValueError`` on malformed/unsupported input."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (ValueError, struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"bad JPEG: {exc}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    n = len(data)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], list[int]] = {}
+    comps: list[_Component] = []
+    h = w = 0
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    restart_interval = 0
+    decoded: set[int] = set()  # component ids with a completed scan
+
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker — skip one byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl_zz = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                if tbl_zz.size != 64:
+                    raise ValueError("short DQT")
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl_zz
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = bytes(seg[p + 1 : p + 17])
+                count = sum(bits)
+                vals = bytes(seg[p + 17 : p + 17 + count])
+                if len(vals) != count:
+                    raise ValueError("short DHT")
+                htables[(tc, th)] = _decode_lut((bits, vals))
+                p += 17 + count
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline)
+            if comps:
+                raise ValueError("multiple SOF markers")
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            if h == 0 or w == 0:
+                raise ValueError("zero dimension")
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(_Component(cid, hv >> 4, hv & 15, tq))
+            if any(c.hs not in (1, 2) or c.vs not in (1, 2) for c in comps):
+                raise ValueError("sampling factors above 2 unsupported")
+            hmax = max(c.hs for c in comps)
+            vmax = max(c.vs for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # RASTER-ordered coefficient grid per component, sized to the
+            # full interleaved block grid (a superset of what any
+            # non-interleaved scan fills; unfilled edge blocks stay 0
+            # and are cropped after the IDCT)
+            for c in comps:
+                c.coefs = [0] * (mcux * c.hs * mcuy * c.vs * 64)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                for ci, c in enumerate(comps):
+                    if c.cid == cs:
+                        c.td, c.ta = tdta >> 4, tdta & 15
+                        scan_comps.append((c, ci))
+                        break
+                else:
+                    raise ValueError("SOS references unknown component")
+            if ns != 1 and ns != len(comps):
+                raise ValueError("partially-interleaved scans unsupported")
+            for c, _ci in scan_comps:
+                if c.tq not in qtables:
+                    raise ValueError("missing quant table")
+                if (0, c.td) not in htables or (1, c.ta) not in htables:
+                    raise ValueError("missing huffman table")
+                if _ci in decoded:
+                    raise ValueError("component scanned twice")
+                decoded.add(_ci)
+            with_luts = [
+                (c, ci, htables[(0, c.td)], htables[(1, c.ta)])
+                for c, ci in scan_comps
+            ]
+            if ns == 1:
+                # Non-interleaved: the data unit is ONE block; the
+                # component's own block grid in raster order (T.81 A.2.2)
+                c = scan_comps[0][0]
+                comp_w = (w * c.hs + hmax - 1) // hmax
+                comp_h = (h * c.vs + vmax - 1) // vmax
+                bw_scan = (comp_w + 7) // 8
+                bh_scan = (comp_h + 7) // 8
+                geom = [(1, mcux * c.hs, bw_scan, 1)]
+                n_units = bw_scan * bh_scan
+            else:
+                # Fully interleaved: unit = MCU of hs*vs blocks per comp
+                geom = [
+                    (c.hs * c.vs, mcux * c.hs, mcux, c.hs)
+                    for c, _ci in scan_comps
+                ]
+                n_units = mcux * mcuy
+            scan_start = pos + 2 + seglen
+            consumed = _decode_scan(
+                data[scan_start:], with_luts, geom, n_units, restart_interval
+            )
+            pos = scan_start + consumed
+            continue
+        # APPn / COM / DNL / others: skip
+        pos += 2 + seglen
+
+    if not comps or not decoded:
+        raise ValueError("no scan data")
+    if len(decoded) != len(comps):
+        raise ValueError("stream missing a component scan")
+
+    # Dequantize + IDCT, batched per component; coefficients are already
+    # in raster block order so the plane assembles with one deblockify.
     planes = []
     for c in comps:
         qtbl = qtables[c.tq]
@@ -677,19 +702,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
         nat[:, ZIGZAG] = zz  # zigzag -> natural
         deq = (nat * qtbl).astype(np.float64).reshape(-1, 8, 8)
         blocks = _DCT.T @ deq @ _DCT + 128.0  # batched IDCT
-        # Reassemble MCU-interleaved blocks into the component plane.
         bw = mcux * c.hs  # blocks per row
         bh = mcuy * c.vs
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        # blocks are ordered (mcu, v, h) — vectorized scatter:
-        idx = np.arange(n_mcu * c.hs * c.vs)
-        mcu = idx // (c.hs * c.vs)
-        sub = idx % (c.hs * c.vs)
-        by = (mcu // mcux) * c.vs + sub // c.hs
-        bx = (mcu % mcux) * c.hs + sub % c.hs
-        grid = np.zeros((bh, bw, 8, 8), dtype=np.float64)
-        grid[by, bx] = blocks
-        plane = grid.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = _deblockify(blocks, bh * 8, bw * 8)
         # Upsample to full resolution if subsampled.
         ry, rx = vmax // c.vs, hmax // c.hs
         if ry > 1 or rx > 1:

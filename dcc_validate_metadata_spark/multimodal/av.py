@@ -232,6 +232,11 @@ def decode_ima_adpcm_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("only mono IMA ADPCM supported")
     if bits != 4:
         raise ValueError(f"unsupported ADPCM bit depth {bits}")
+    if block_align < 5:
+        # 4-byte block header + at least one code byte; anything smaller
+        # is corrupt and would otherwise escape as a raw struct.error
+        # below (ValueError is what _decode_audio's dispatch handles)
+        raise ValueError(f"corrupt ADPCM block_align {block_align}")
     total = None
     fact = chunks.get(b"fact")
     if fact is not None and len(fact) >= 4:
@@ -589,10 +594,24 @@ def _iter_sampled_frames(
         if data is None:
             continue
         meta = dict(metas.iloc[i])
+        rid = b[id_col].iloc[i]
         get_frame, n_frames, fps = _clip_decoder(bytes(data), meta, fake)
         step = max(1, int(round(every_sec * fps)))
         for fidx in range(0, n_frames, step):
-            yield b[id_col].iloc[i], fidx, round(fidx / fps, 4), get_frame(fidx)
+            try:
+                frame = get_frame(fidx)
+            except ValueError as e:
+                # lazy per-frame decode (MJPEG) can hit a corrupt frame
+                # AFTER the container parsed fine: in fake mode fall to
+                # the stub frame; strict mode keeps raising but with the
+                # clip/frame identified, never a bare codec error
+                if fake:
+                    frame = _decode_frame_stub(bytes(data), meta, fidx, True)
+                else:
+                    raise ValueError(
+                        f"clip {rid!r} frame {fidx}: {e}"
+                    ) from e
+            yield rid, fidx, round(fidx / fps, 4), frame
 
 
 def sample_video_frames(

@@ -400,11 +400,167 @@ def test_decode_determinism():
     assert jpeg.encode_jpeg(img, 98) == data  # encoder deterministic too
 
 
+def _emit_block(writer, row, prev_dc, dc_codes, ac_codes):
+    """Entropy-code one zigzag block; returns the new DC predictor."""
+    dc = int(row[0])
+    diff = dc - prev_dc
+    size = 0 if diff == 0 else abs(diff).bit_length()
+    c, ln = dc_codes[size]
+    writer.put(c, ln)
+    if size:
+        writer.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run, last = 0, 0
+    for k in range(63, 0, -1):
+        if row[k]:
+            last = k
+            break
+    for k in range(1, last + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            writer.put(zc, zl)
+            run -= 16
+        size = abs(v).bit_length()
+        c, ln = ac_codes[(run << 4) | size]
+        writer.put(c, ln)
+        writer.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last != 63:
+        ec, el = ac_codes[0x00]
+        writer.put(ec, el)
+    return dc
+
+
+def test_multi_sos_non_interleaved():
+    """A 3-scan non-interleaved 4:2:0 stream (one SOS per component,
+    T.81 A.2.2 raster block order) must decode EXACTLY like the
+    equivalent interleaved stream — same coefficients, different
+    bitstream layout. Also plants a fill byte (0xFF padding) before one
+    SOS marker, which the marker walk must skip."""
+    img = np.full((16, 16, 3), 100, np.uint8)
+    img[:8, :8] = 200
+    img[12:, :4] = 30
+    ycc = jpeg.rgb_to_ycbcr(img)
+    ql, qc = jpeg.quality_tables(95)
+    dc_l = jpeg._canonical_codes(*jpeg._HUFF_DC_LUMA)
+    ac_l = jpeg._canonical_codes(*jpeg._HUFF_AC_LUMA)
+    dc_c = jpeg._canonical_codes(*jpeg._HUFF_DC_CHROMA)
+    ac_c = jpeg._canonical_codes(*jpeg._HUFF_AC_CHROMA)
+
+    def blocks_zz(plane, qtbl):
+        b = jpeg._blockify(plane - 128.0)
+        coefs = jpeg._DCT @ b @ jpeg._DCT.T
+        qz = np.rint(coefs.reshape(-1, 64) / qtbl).astype(np.int64)
+        return qz[:, jpeg.ZIGZAG]
+
+    y_zz = blocks_zz(ycc[..., 0], ql)  # 4 blocks, raster order
+    cb = ycc[..., 1].reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    cr = ycc[..., 2].reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    cb_zz = blocks_zz(cb, qc)
+    cr_zz = blocks_zz(cr, qc)
+
+    headers = bytearray()
+    headers += b"\xff\xd8"
+    headers += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(ql[jpeg.ZIGZAG].tolist())
+    headers += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc[jpeg.ZIGZAG].tolist())
+    headers += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    headers += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x2, C 1x1
+    headers += jpeg._dht_segment(0, 0, *jpeg._HUFF_DC_LUMA)
+    headers += jpeg._dht_segment(1, 0, *jpeg._HUFF_AC_LUMA)
+    headers += jpeg._dht_segment(0, 1, *jpeg._HUFF_DC_CHROMA)
+    headers += jpeg._dht_segment(1, 1, *jpeg._HUFF_AC_CHROMA)
+
+    # Interleaved single-scan variant (Y Y Y Y Cb Cr per MCU)
+    wi = jpeg._BitWriter()
+    prev = [0, 0, 0]
+    for b in range(4):
+        prev[0] = _emit_block(wi, y_zz[b].tolist(), prev[0], dc_l, ac_l)
+    prev[1] = _emit_block(wi, cb_zz[0].tolist(), prev[1], dc_c, ac_c)
+    prev[2] = _emit_block(wi, cr_zz[0].tolist(), prev[2], dc_c, ac_c)
+    interleaved = bytearray(headers)
+    interleaved += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    interleaved += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    interleaved += wi.flush() + b"\xff\xd9"
+    dec_i = jpeg.decode_jpeg(bytes(interleaved))
+
+    # Non-interleaved 3-scan variant: each component's own SOS, DC
+    # prediction restarting per scan, blocks in component raster order
+    multi = bytearray(headers)
+    for cid, tbl_sel, zz, dcc, acc in (
+        (1, 0x00, y_zz, dc_l, ac_l),
+        (2, 0x11, cb_zz, dc_c, ac_c),
+        (3, 0x11, cr_zz, dc_c, ac_c),
+    ):
+        if cid == 2:
+            multi += b"\xff"  # fill byte before the marker — legal padding
+        ws = jpeg._BitWriter()
+        p = 0
+        for b in range(zz.shape[0]):
+            p = _emit_block(ws, zz[b].tolist(), p, dcc, acc)
+        multi += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        multi += bytes([cid, tbl_sel, 0, 63, 0])
+        multi += ws.flush()
+    multi += b"\xff\xd9"
+    dec_m = jpeg.decode_jpeg(bytes(multi))
+
+    assert dec_m.shape == (16, 16, 3)
+    assert np.array_equal(dec_m, dec_i), (
+        "non-interleaved decode diverges from interleaved "
+        f"(max delta {np.abs(dec_m.astype(int) - dec_i.astype(int)).max()})"
+    )
+    # and both carry the planted spatial structure
+    assert abs(int(dec_m[:8, :8].mean()) - 200) < 12
+    assert abs(int(dec_m[8:12, 8:].mean()) - 100) < 12
+
+    # a component scanned twice must be rejected, not silently overwrite
+    dup = bytes(multi).replace(bytes([2, 0x11, 0, 63, 0]), bytes([1, 0x00, 0, 63, 0]), 1)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(dup)
+
+    # a stream missing a component scan must be rejected
+    truncated = bytearray(headers)
+    ws = jpeg._BitWriter()
+    p = 0
+    for b in range(4):
+        p = _emit_block(ws, y_zz[b].tolist(), p, dc_l, ac_l)
+    truncated += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    truncated += bytes([1, 0x00, 0, 63, 0])
+    truncated += ws.flush() + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(truncated))
+
+
 # ---------------------------------------------------------------------------
 # Property tests (Hypothesis): random dims x quality x content classes
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _reference_reconstruction(img: np.ndarray, quality: int) -> np.ndarray:
+    """The mathematically expected decode(encode(img)): quantize and
+    dequantize the DCT coefficients directly in numpy, skipping the
+    bitstream entirely. Any divergence between this and the real
+    decoder isolates a bitstream/Huffman/assembly bug — quantization
+    loss is identical on both paths, so the comparison is EXACT."""
+    q_luma, q_chroma = jpeg.quality_tables(quality)
+    ycc = jpeg.rgb_to_ycbcr(img)
+    h, w = img.shape[:2]
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    if (h8, w8) != (h, w):
+        ycc = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+    planes = []
+    for ci, qtbl in ((0, q_luma), (1, q_chroma), (2, q_chroma)):
+        blocks = jpeg._blockify(ycc[..., ci] - 128.0)
+        coefs = jpeg._DCT @ blocks @ jpeg._DCT.T
+        qz = np.rint(coefs.reshape(-1, 64) / qtbl).astype(np.int64)
+        deq = (qz * qtbl).astype(np.float64).reshape(-1, 8, 8)
+        rec = jpeg._DCT.T @ deq @ jpeg._DCT + 128.0
+        planes.append(jpeg._deblockify(rec, h8, w8)[:h, :w])
+    return jpeg.ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
 @settings(max_examples=25, deadline=None)
@@ -417,9 +573,10 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 )
 def test_property_roundtrip_any_dims_quality(h, w, quality, seed, kind):
     """decode(encode(img)) must always return the exact input dims/dtype
-    and never raise; error must shrink as quality rises is covered by
-    the fixed tests — here the invariant is structural totality plus a
-    loose but universal error bound."""
+    and never raise, and must EQUAL the analytic quantize-dequantize
+    reconstruction bit-for-bit (a flat numeric error bound cannot
+    discriminate codec bugs from honest quantization: at q=55 on noise
+    the legitimate max pixel error reaches ~220)."""
     rng = np.random.default_rng(seed)
     if kind == "smooth":
         img = _smooth(rng, h, w)
@@ -434,10 +591,12 @@ def test_property_roundtrip_any_dims_quality(h, w, quality, seed, kind):
     data = jpeg.encode_jpeg(img, quality)
     dec = jpeg.decode_jpeg(data)
     assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
-    # universal bound: quantization error can't exceed the coarsest
-    # Annex-K step sum; in practice max |err| stays far below this
-    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
-    assert err <= 128, f"absurd roundtrip error {err} (q={quality})"
+    ref = _reference_reconstruction(img, quality)
+    assert np.array_equal(dec, ref), (
+        f"decode diverges from analytic reconstruction "
+        f"(q={quality}, max delta "
+        f"{np.abs(dec.astype(np.int64) - ref.astype(np.int64)).max()})"
+    )
 
 
 @settings(max_examples=15, deadline=None)
