@@ -8,9 +8,13 @@ canonical Huffman entropy coding with the Annex-K typical tables, JFIF
 markers (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), 0xFF byte stuffing, and restart
 markers on decode. Output is readable by any standard JPEG decoder and
 the decoder reads any baseline 8-bit JFIF stream (1 or 3 components,
-sampling factors up to 2x2, DRI/RSTn). Progressive (SOF2) and
-arithmetic-coded streams are rejected with ``ValueError`` — the
-validation pipeline maps decode errors to violation rows.
+interleaved or multi-SOS non-interleaved, sampling factors up to 2x2,
+DRI/RSTn) **plus progressive (SOF2) streams** — spectral selection,
+successive approximation, EOB runs, and AC refinement per T.81 G.2,
+with ``encode_jpeg_progressive`` emitting the standard 10-scan script
+for testing. Arithmetic-coded and hierarchical streams are rejected
+with ``ValueError`` — the validation pipeline maps decode errors to
+violation rows.
 
 Designed for Arrow-batch throughput inside ``mapInPandas`` stages
 (no image libraries exist in this sandbox, so entropy decode is Python):
@@ -127,6 +131,17 @@ _HUFF_AC_CHROMA = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+# AC table for PROGRESSIVE scans: the Annex-K baseline AC tables lack the
+# EOBn symbols 0x10..0xE0 (end-of-band runs > 1, T.81 G.2), so progressive
+# streams from this encoder carry their own table — every (run, size)
+# composite for run 0..15 x size 0..14 at a uniform 8-bit code length
+# (240 codes, Kraft sum 240/256 < 1, so the canonical assignment is a
+# valid prefix code; compression is secondary to correctness here).
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(15)],
 )
 
 # Orthonormal 8-point DCT-II matrix: forward coefs = _DCT @ block @ _DCT.T
@@ -359,6 +374,231 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 92) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 92, dc_restart_interval: int = 0
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as PROGRESSIVE JFIF (SOF2), 4:4:4,
+    using the standard 10-scan script (DC first at Al=1 → luma AC bands
+    at Al=2 → chroma AC at Al=1 → AC/DC refinement passes down to Al=0)
+    so a conforming progressive decoder exercises spectral selection,
+    successive approximation, EOB runs, and refinement ZRLs. The
+    quantized coefficients are identical to ``encode_jpeg`` at the same
+    quality, so decoding both streams yields bit-identical pixels.
+
+    ``dc_restart_interval`` > 0 plants RSTn markers every that many MCUs
+    in the first DC scan (and emits DRI=0 before the following scans)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("bad dimensions")
+    q_luma, q_chroma = quality_tables(quality)
+
+    ycc = rgb_to_ycbcr(pixels)
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    if (h8, w8) != (h, w):
+        ycc = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+
+    rows = []
+    for ci, qtbl in ((0, q_luma), (1, q_chroma), (2, q_chroma)):
+        blocks = _blockify(ycc[..., ci] - 128.0)
+        coefs = _DCT @ blocks @ _DCT.T
+        qz = np.rint(coefs.reshape(-1, 64) / qtbl).astype(np.int64)
+        rows.append(qz[:, ZIGZAG].tolist())
+    n_blocks = len(rows[0])
+
+    dc_codes = [
+        _canonical_codes(*_HUFF_DC_LUMA),
+        _canonical_codes(*_HUFF_DC_CHROMA),
+        _canonical_codes(*_HUFF_DC_CHROMA),
+    ]
+    acc = _canonical_codes(*_HUFF_AC_PROG)
+
+    def dc_scan(ah: int, al: int, ri: int) -> bytes:
+        parts: list[bytes] = []
+        wtr = _BitWriter()
+        prev = [0, 0, 0]
+        rst = 0
+        for b in range(n_blocks):
+            if ri and b and b % ri == 0:
+                parts.append(wtr.flush())
+                parts.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) & 7
+                wtr = _BitWriter()
+                prev = [0, 0, 0]
+            for ci in range(3):
+                a = rows[ci][b][0] >> al  # point transform (arith shift)
+                if ah == 0:
+                    diff = a - prev[ci]
+                    prev[ci] = a
+                    size = 0 if diff == 0 else abs(diff).bit_length()
+                    c_, ln = dc_codes[ci][size]
+                    wtr.put(c_, ln)
+                    if size:
+                        wtr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+                else:
+                    wtr.put(a & 1, 1)  # the Al-th magnitude bit
+        parts.append(wtr.flush())
+        return b"".join(parts)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        eobcnt = 0
+
+        def flush_eob() -> None:
+            nonlocal eobcnt
+            if eobcnt:
+                r = eobcnt.bit_length() - 1
+                c_, ln = acc[r << 4]
+                wtr.put(c_, ln)
+                if r:
+                    wtr.put(eobcnt - (1 << r), r)
+                eobcnt = 0
+
+        zz = rows[ci]
+        for b in range(n_blocks):
+            row = zz[b]
+            run = 0
+            for k in range(ss, se + 1):
+                a = row[k]
+                t = (a if a >= 0 else -a) >> al  # truncate toward zero
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    c_, ln = acc[0xF0]
+                    wtr.put(c_, ln)
+                    run -= 16
+                s = t.bit_length()
+                c_, ln = acc[(run << 4) | s]
+                wtr.put(c_, ln)
+                v = t if a > 0 else -t
+                wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                eobcnt += 1
+                if eobcnt == 32767:
+                    flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # G.1.2.3: correction bits buffer with the run/EOB they follow
+        wtr = _BitWriter()
+        eobcnt = 0
+        be: list[int] = []  # correction bits attached to the pending EOB run
+
+        def flush_eob() -> None:
+            nonlocal eobcnt, be
+            if eobcnt:
+                r = eobcnt.bit_length() - 1
+                c_, ln = acc[r << 4]
+                wtr.put(c_, ln)
+                if r:
+                    wtr.put(eobcnt - (1 << r), r)
+                for bbit in be:
+                    wtr.put(bbit, 1)
+                be = []
+                eobcnt = 0
+
+        zz = rows[ci]
+        for b in range(n_blocks):
+            row = zz[b]
+            absv = [0] * (se + 1)
+            eobpos = 0  # last newly-nonzero position in the band
+            for k in range(ss, se + 1):
+                a = row[k]
+                t = (a if a >= 0 else -a) >> al
+                absv[k] = t
+                if t == 1:
+                    eobpos = k
+            r = 0
+            br: list[int] = []  # corrections since the last emitted symbol
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs only while a newly-nonzero coef still follows;
+                # trailing zeros fold into the EOB run instead
+                while r > 15 and k <= eobpos:
+                    flush_eob()
+                    c_, ln = acc[0xF0]
+                    wtr.put(c_, ln)
+                    r -= 16
+                    for bbit in br:
+                        wtr.put(bbit, 1)
+                    br = []
+                if t > 1:  # history coefficient: one correction bit
+                    br.append(t & 1)
+                    continue
+                # newly nonzero: (run, 1) + sign + buffered corrections
+                flush_eob()
+                c_, ln = acc[(r << 4) | 1]
+                wtr.put(c_, ln)
+                wtr.put(1 if row[k] > 0 else 0, 1)
+                for bbit in br:
+                    wtr.put(bbit, 1)
+                br = []
+                r = 0
+            if r or br:
+                eobcnt += 1
+                be.extend(br)
+                if eobcnt == 32767 or len(be) > 900:
+                    flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    def sos(comps_sel: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps_sel)])
+        for cid, tsel in comps_sel:
+            body += bytes([cid, tsel])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q_luma[ZIGZAG].tolist())
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(q_chroma[ZIGZAG].tolist())
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _dht_segment(0, 0, *_HUFF_DC_LUMA)
+    out += _dht_segment(0, 1, *_HUFF_DC_CHROMA)
+    out += _dht_segment(1, 0, *_HUFF_AC_PROG)
+    out += _dht_segment(1, 1, *_HUFF_AC_PROG)
+
+    interleaved = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    if dc_restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dc_restart_interval)
+    out += sos(interleaved, 0, 0, 0, 1)
+    out += dc_scan(0, 1, dc_restart_interval)
+    if dc_restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 0)  # restarts off again
+    for ci, tsel, ss_, se_, ah_, al_ in (
+        (0, 0x00, 1, 5, 0, 2),
+        (2, 0x01, 1, 63, 0, 1),
+        (1, 0x01, 1, 63, 0, 1),
+        (0, 0x00, 6, 63, 0, 2),
+        (0, 0x00, 1, 63, 2, 1),
+        (2, 0x01, 1, 63, 1, 0),
+        (1, 0x01, 1, 63, 1, 0),
+        (0, 0x00, 1, 63, 1, 0),
+    ):
+        out += sos([(ci + 1, tsel)], ss_, se_, ah_, al_)
+        if ah_ == 0:
+            out += ac_first_scan(ci, ss_, se_, al_)
+        else:
+            out += ac_refine_scan(ci, ss_, se_, al_)
+        if ci == 0 and ah_ == 2:
+            # DC refinement sits mid-script, as libjpeg emits it
+            out += sos(interleaved, 0, 0, 1, 0)
+            out += dc_scan(1, 0, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -539,11 +779,199 @@ def _decode_scan(
     return consumed
 
 
+def _decode_progressive_scan(
+    scan_bytes: bytes,
+    scan_comps: list[tuple[_Component, int, list[int] | None, list[int] | None]],
+    blocks_geom: list[tuple[int, int, int, int]],
+    n_units: int,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Entropy-decode ONE progressive scan (T.81 G.2): DC first
+    (Ss=0, Ah=0 — diff-coded, point-transformed by Al), DC refinement
+    (one appended bit per block, OR-ed at Al), AC first (band Ss..Se at
+    precision Al with EOB-run coding), AC refinement (correction bits
+    for history coefficients + newly-nonzero (run,1) symbols). Same
+    word-peek bit reader and raster coefficient geometry as
+    ``_decode_scan``; returns bytes consumed from ``scan_bytes``."""
+    words, restarts, consumed = _scan_words(scan_bytes)
+    restart_bytepos = [r[0] for r in restarts]
+    p = 0  # bit position
+    nc_scan = len(scan_comps)
+    pred = [0] * nc_scan
+    eobrun = 0
+    next_restart = 0
+    w = words
+    meta = [
+        (c.coefs, dclut, aclut, bpm, bwf, upr, sbw)
+        for (c, _ci, dclut, aclut), (bpm, bwf, upr, sbw) in zip(
+            scan_comps, blocks_geom
+        )
+    ]
+    bit = 1 << al
+    for m in range(n_units):
+        if restart_interval and m and m % restart_interval == 0:
+            if next_restart >= len(restart_bytepos):
+                raise ValueError("missing restart marker")
+            p = restart_bytepos[next_restart] * 8
+            next_restart += 1
+            pred = [0] * nc_scan
+            eobrun = 0
+        for ci in range(nc_scan):
+            coefs, dclut, aclut, bpm, bwf, upr, sbw = meta[ci]
+            for bi in range(bpm):
+                by = (m // upr) * (bpm // sbw) + bi // sbw
+                bx = (m % upr) * sbw + bi % sbw
+                off = (by * bwf + bx) * 64
+                if ss == 0:
+                    if ah == 0:
+                        # ---- DC first: size + extend, shifted by Al ----
+                        o = p & 7
+                        e = dclut[(w[p >> 3] >> (16 - o)) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("bad huffman code (DC)")
+                        s = e & 0xFF
+                        p += e >> 8
+                        if s:
+                            o = p & 7
+                            v = (w[p >> 3] >> (32 - o - s)) & ((1 << s) - 1)
+                            p += s
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            pred[ci] += v
+                        coefs[off] = pred[ci] << al
+                    else:
+                        # ---- DC refinement: one raw bit, OR-ed in ----
+                        o = p & 7
+                        if (w[p >> 3] >> (31 - o)) & 1:
+                            coefs[off] |= bit
+                        p += 1
+                elif ah == 0:
+                    # ---- AC first: band Ss..Se at precision Al ----
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        o = p & 7
+                        e = aclut[(w[p >> 3] >> (16 - o)) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("bad huffman code (AC)")
+                        sym = e & 0xFF
+                        p += e >> 8
+                        r = sym >> 4
+                        s = sym & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    o = p & 7
+                                    eobrun += (w[p >> 3] >> (32 - o - r)) & (
+                                        (1 << r) - 1
+                                    )
+                                    p += r
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            o = p & 7
+                            v = (w[p >> 3] >> (32 - o - s)) & ((1 << s) - 1)
+                            p += s
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            coefs[off + k] = v << al
+                            k += 1
+                else:
+                    # ---- AC refinement (G.1.2.3): correction bits for
+                    # history coefficients, (run,1) for newly nonzero ----
+                    if eobrun:
+                        eobrun -= 1
+                        k = ss
+                        while k <= se:
+                            cv = coefs[off + k]
+                            if cv != 0:
+                                o = p & 7
+                                b = (w[p >> 3] >> (31 - o)) & 1
+                                p += 1
+                                if b and (cv & bit) == 0:
+                                    coefs[off + k] = cv + (bit if cv > 0 else -bit)
+                            k += 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        o = p & 7
+                        e = aclut[(w[p >> 3] >> (16 - o)) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("bad huffman code (AC)")
+                        sym = e & 0xFF
+                        p += e >> 8
+                        r = sym >> 4
+                        s = sym & 15
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    o = p & 7
+                                    eobrun += (w[p >> 3] >> (32 - o - r)) & (
+                                        (1 << r) - 1
+                                    )
+                                    p += r
+                                # rest of THIS block's band: corrections only
+                                while k <= se:
+                                    cv = coefs[off + k]
+                                    if cv != 0:
+                                        o = p & 7
+                                        b = (w[p >> 3] >> (31 - o)) & 1
+                                        p += 1
+                                        if b and (cv & bit) == 0:
+                                            coefs[off + k] = cv + (
+                                                bit if cv > 0 else -bit
+                                            )
+                                    k += 1
+                                eobrun -= 1
+                                break
+                            # ZRL: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError("bad AC refinement symbol")
+                            o = p & 7
+                            val = bit if (w[p >> 3] >> (31 - o)) & 1 else -bit
+                            p += 1
+                        # advance over r zero-history coefs, correcting
+                        # nonzero-history ones along the way
+                        while k <= se:
+                            cv = coefs[off + k]
+                            if cv != 0:
+                                o = p & 7
+                                b = (w[p >> 3] >> (31 - o)) & 1
+                                p += 1
+                                if b and (cv & bit) == 0:
+                                    coefs[off + k] = cv + (bit if cv > 0 else -bit)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            coefs[off + k] = val
+                        k += 1
+    if (p + 7) >> 3 > len(w) - 1:
+        raise ValueError("scan truncated")
+    return consumed
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline 8-bit JFIF stream to (h, w, 3) uint8 RGB
-    (grayscale streams are replicated to 3 channels). Handles both
-    fully-interleaved scans and per-component non-interleaved scans
-    (multi-SOS), sampling factors up to 2x2, DRI/RSTn. Raises
+    """Decode a baseline OR progressive 8-bit JFIF stream to (h, w, 3)
+    uint8 RGB (grayscale streams are replicated to 3 channels). Handles
+    fully-interleaved scans, per-component non-interleaved scans
+    (multi-SOS), progressive spectral selection + successive
+    approximation (SOF2), sampling factors up to 2x2, DRI/RSTn. Raises
     ``ValueError`` on malformed/unsupported input."""
     try:
         return _decode_jpeg_inner(data)
@@ -563,7 +991,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     hmax = vmax = 1
     mcux = mcuy = 0
     restart_interval = 0
-    decoded: set[int] = set()  # component ids with a completed scan
+    progressive = False
+    decoded: set[int] = set()  # baseline: component ids with a completed scan
+    dc_done: set[int] = set()  # progressive: component ids with a DC first scan
 
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -602,9 +1032,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     raise ValueError("short DHT")
                 htables[(tc, th)] = _decode_lut((bits, vals))
                 p += 17 + count
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if comps:
                 raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -627,8 +1058,6 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             # and are cropped after the IDCT)
             for c in comps:
                 c.coefs = [0] * (mcux * c.hs * mcuy * c.vs * 64)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xDD:  # DRI
@@ -647,18 +1076,38 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                         break
                 else:
                     raise ValueError("SOS references unknown component")
-            if ns != 1 and ns != len(comps):
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if progressive:
+                # DC scans (Ss=0) may interleave any component subset;
+                # AC scans are single-component per T.81 G.2
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("progressive DC scan with Se != 0")
+                elif ns != 1 or se < ss or se > 63:
+                    raise ValueError("bad progressive AC scan header")
+            elif ns != 1 and ns != len(comps):
                 raise ValueError("partially-interleaved scans unsupported")
             for c, _ci in scan_comps:
                 if c.tq not in qtables:
                     raise ValueError("missing quant table")
-                if (0, c.td) not in htables or (1, c.ta) not in htables:
-                    raise ValueError("missing huffman table")
-                if _ci in decoded:
-                    raise ValueError("component scanned twice")
-                decoded.add(_ci)
+                if progressive:
+                    # DC refinement needs no tables; first DC scans need
+                    # only the DC table, AC scans only the AC table
+                    if ss == 0 and ah == 0 and (0, c.td) not in htables:
+                        raise ValueError("missing huffman table")
+                    if ss > 0 and (1, c.ta) not in htables:
+                        raise ValueError("missing huffman table")
+                    if ss == 0 and ah == 0:
+                        dc_done.add(_ci)
+                else:
+                    if (0, c.td) not in htables or (1, c.ta) not in htables:
+                        raise ValueError("missing huffman table")
+                    if _ci in decoded:
+                        raise ValueError("component scanned twice")
+                    decoded.add(_ci)
             with_luts = [
-                (c, ci, htables[(0, c.td)], htables[(1, c.ta)])
+                (c, ci, htables.get((0, c.td)), htables.get((1, c.ta)))
                 for c, ci in scan_comps
             ]
             if ns == 1:
@@ -679,18 +1128,31 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 ]
                 n_units = mcux * mcuy
             scan_start = pos + 2 + seglen
-            consumed = _decode_scan(
-                data[scan_start:], with_luts, geom, n_units, restart_interval
-            )
+            if progressive:
+                consumed = _decode_progressive_scan(
+                    data[scan_start:], with_luts, geom, n_units,
+                    restart_interval, ss, se, ah, al,
+                )
+            else:
+                consumed = _decode_scan(
+                    data[scan_start:], with_luts, geom, n_units,
+                    restart_interval,
+                )
             pos = scan_start + consumed
             continue
         # APPn / COM / DNL / others: skip
         pos += 2 + seglen
 
-    if not comps or not decoded:
-        raise ValueError("no scan data")
-    if len(decoded) != len(comps):
-        raise ValueError("stream missing a component scan")
+    if progressive:
+        # every component needs at least its first DC scan to produce
+        # output; missing AC scans are legal (coarser image)
+        if len(dc_done) != len(comps):
+            raise ValueError("progressive stream missing a DC scan")
+    else:
+        if not comps or not decoded:
+            raise ValueError("no scan data")
+        if len(decoded) != len(comps):
+            raise ValueError("stream missing a component scan")
 
     # Dequantize + IDCT, batched per component; coefficients are already
     # in raster block order so the plane assembles with one deblockify.

@@ -533,6 +533,95 @@ def test_multi_sos_non_interleaved():
         jpeg.decode_jpeg(bytes(truncated))
 
 
+def test_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) encoding quantizes identically to baseline, so
+    decoding the progressive stream must produce BIT-IDENTICAL pixels to
+    decoding the baseline stream — any divergence isolates a bug in the
+    spectral-selection / successive-approximation scan handling."""
+    rng = np.random.default_rng(21)
+    for h, w, q, kind in (
+        (32, 32, 92, "s"),
+        (17, 23, 75, "s"),
+        (32, 32, 55, "n"),
+        (8, 8, 98, "n"),
+        (40, 40, 85, "n"),
+        (1, 1, 92, "n"),
+        (33, 31, 65, "s"),
+    ):
+        img = (
+            _smooth(rng, h, w)
+            if kind == "s"
+            else rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        )
+        pb = jpeg.encode_jpeg_progressive(img, q)
+        assert b"\xff\xc2" in pb and b"\xff\xc0" not in pb[:200]  # SOF2
+        dec_p = jpeg.decode_jpeg(pb)
+        dec_b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q))
+        assert np.array_equal(dec_p, dec_b), f"dims ({h},{w}) q={q} {kind}"
+
+
+def test_progressive_dc_restart_markers():
+    """RSTn markers inside the first DC scan (DRI then DRI=0) reset the
+    DC predictors and byte-align; decode must stay exact."""
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)  # 24 MCUs
+    dec_b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 80))
+    for ri in (1, 2, 7):
+        pb = jpeg.encode_jpeg_progressive(img, 80, dc_restart_interval=ri)
+        assert np.array_equal(jpeg.decode_jpeg(pb), dec_b), f"ri={ri}"
+
+
+def test_progressive_partial_stream_is_coarse_not_error():
+    """Truncating after the DC scan is a LEGAL progressive stream (the
+    defining property of the format): it must decode to a coarse image,
+    not raise, and differ from the fully-refined decode."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    pb = jpeg.encode_jpeg_progressive(img, 85)
+    first = pb.index(b"\xff\xda")
+    second = pb.index(b"\xff\xda", first + 2)
+    coarse = jpeg.decode_jpeg(pb[:second] + b"\xff\xd9")
+    full = jpeg.decode_jpeg(pb)
+    assert coarse.shape == (24, 24, 3)
+    assert not np.array_equal(coarse, full)
+    # DC-only decode keeps per-block means, so the global mean survives
+    assert abs(float(coarse.mean()) - float(full.mean())) < 20
+
+
+def test_progressive_refinement_zrl_path():
+    """A single |coef|=3 at zigzag position 45 (44 leading zeros in the
+    band) forces ZRL symbols inside the AC REFINEMENT scan — the
+    rarest decode path (zero-run skip with interleaved correction
+    bits). Random content essentially never produces it."""
+    q = 75
+    ql, _ = jpeg.quality_tables(q)
+    nat = np.zeros(64)
+    nat[jpeg.ZIGZAG[45]] = 3.0 * ql[jpeg.ZIGZAG[45]]
+    block = jpeg._DCT.T @ nat.reshape(8, 8) @ jpeg._DCT + 128.0
+    gray = np.clip(np.rint(block), 0, 255).astype(np.uint8)
+    img = np.stack([gray] * 3, axis=-1)
+    # the construction really yields the isolated coefficient
+    blocks = jpeg._blockify(jpeg.rgb_to_ycbcr(img)[..., 0] - 128.0)
+    qz = np.rint(
+        (jpeg._DCT @ blocks @ jpeg._DCT.T).reshape(-1, 64) / ql
+    ).astype(np.int64)[:, jpeg.ZIGZAG]
+    assert qz[0, 45] == 3 and int((qz[0, 1:] != 0).sum()) == 1
+    dec_p = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, q))
+    dec_b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q))
+    assert np.array_equal(dec_p, dec_b)
+
+
+def test_progressive_error_paths():
+    rng = np.random.default_rng(24)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    pb = jpeg.encode_jpeg_progressive(img, 80)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(pb[: len(pb) // 2])  # mid-scan truncation
+    sos1 = pb.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing a DC scan"):
+        jpeg.decode_jpeg(pb[:sos1] + b"\xff\xd9")  # no scan at all
+
+
 # ---------------------------------------------------------------------------
 # Property tests (Hypothesis): random dims x quality x content classes
 # ---------------------------------------------------------------------------
@@ -606,3 +695,21 @@ def test_property_deterministic_encode(seed, quality):
     on it (same seed -> same parquet bytes -> stable oracle hashes)."""
     img = _smooth(np.random.default_rng(seed), 24, 24)
     assert jpeg.encode_jpeg(img, quality) == jpeg.encode_jpeg(img, quality)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(55, 100),
+    seed=st.integers(0, 2**31),
+)
+def test_property_progressive_equals_baseline(h, w, quality, seed):
+    """Progressive and baseline streams carry the same quantized
+    coefficients, so their decodes must be bit-identical at any dims,
+    quality, and content."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec_p = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality))
+    dec_b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality))
+    assert np.array_equal(dec_p, dec_b)
