@@ -36,6 +36,7 @@ import zlib
 import numpy as np
 
 from . import jpeg as _jpeg
+from . import vp8l as _vp8l
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _JPEG_SIG = b"\xff\xd8\xff"
@@ -186,6 +187,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_png(data), "png"
     if data[:3] == _JPEG_SIG:
         return _jpeg.decode_jpeg(data), "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return _vp8l.decode_webp(data), "webp"
     if data[:4] == _FAKE_MAGIC:
         return decode_lossy(data)
     raise ValueError("unrecognized image container")
