@@ -16,13 +16,14 @@ This container has no image libraries (no PIL / cv2 / imageio), so:
   entropy coding, readable by any standard decoder). Lossy: at the
   default quality (98) quantization bounds the error well above the
   40 dB PSNR invariant threshold for in-gamut content.
-* ``webp`` is a DETERMINISTIC STAND-IN: a quantize-then-deflate container
-  (magic ``FAKL``). It models the *lossy* property honestly — decoded
-  pixels differ from ground truth by a bounded quantization error
-  (q=6 → PSNR ≈ 43 dB > 40 dB threshold) — so the PSNR invariant math is
-  real even though the entropy coding is not VP8's. Swap ``encode_lossy``
-  / ``decode_lossy`` for a real library on a production cluster; every
-  Spark-side signature stays identical.
+* ``webp`` is a REAL codec — lossless WebP (RIFF/VP8L per RFC 9649) in
+  ``images/vp8l.py``: canonical prefix codes, LZ77 + color cache, and
+  the full transform set. Lossless round-trip (PSNR infinite), encoded
+  streams carry the standard RIFF/WEBP container. Lossy VP8 intra
+  coding is NOT implemented (rejected with ``ValueError``).
+* The quantize-then-deflate ``FAKL`` container remains ONLY as the
+  carrier for planted unknown-fmt rows (``bmp``) and as the
+  lossy-error model in property tests; no real fmt maps to it anymore.
 
 All functions are numpy-vectorized per image; the Spark layer batches them
 via Arrow (``images/invariants.py``) — no per-row Python in the plan.
@@ -176,8 +177,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_png(pixels)
     if fmt == "jpeg":
         return _jpeg.encode_jpeg(pixels, quality=JPEG_QUALITY)
-    if fmt in LOSSY_FORMATS:
-        return encode_lossy(pixels, fmt)
+    if fmt == "webp":
+        # real lossless VP8L; no predictor transform (the per-pixel
+        # Python inverse would dominate fixture decode cost)
+        return _vp8l.encode_webp_lossless(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

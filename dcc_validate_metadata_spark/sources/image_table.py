@@ -58,7 +58,7 @@ PARTITION_COLS = ["fmt", "bucket"]
 # Bump whenever _gen_row's OUTPUT changes (pixel content, codecs, plants):
 # every cached fixture/scale-table path embeds it, so stale /tmp tables
 # from an older content regime can never be silently reused.
-CONTENT_VERSION = 7  # v7: real baseline-JFIF jpeg rows + smooth pixel fields
+CONTENT_VERSION = 8  # v8: real VP8L webp rows (v7: real JFIF jpeg + smooth fields)
 
 _VOCAB = (
     "holstein cattle graze upland pasture sunrise over fjord trawler nets "
@@ -171,8 +171,10 @@ def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
         data = codec.encode_png(data_pixels)
     elif enc_fmt == "jpeg":
         data = codec.encode_image(data_pixels, "jpeg")  # real baseline JFIF
+    elif enc_fmt == "webp":
+        data = codec.encode_image(data_pixels, "webp")  # real lossless VP8L
     else:
-        # lossy stand-in container carries webp + unknown planted fmts (bmp)
+        # lossy stand-in container carries ONLY unknown planted fmts (bmp)
         data = codec.encode_lossy(data_pixels, enc_fmt)
     if slot == 85:
         data = data[:10]  # corrupt: decode failure

@@ -386,9 +386,11 @@ def test_codec_dispatch_uses_real_jpeg():
     assert data[:3] == b"\xff\xd8\xff"  # real JFIF magic, not FAKL
     pix, fmt = codec.decode_image(data)
     assert fmt == "jpeg" and codec.psnr(img, pix) >= 42.0
-    # webp stays the documented deflate stand-in
+    # webp is real RIFF/VP8L now (content v8) and roundtrips losslessly
     wp = codec.encode_image(img, "webp")
-    assert wp[:4] == b"FAKL"
+    assert wp[:4] == b"RIFF" and wp[8:12] == b"WEBP"
+    wpix, wfmt = codec.decode_image(wp)
+    assert wfmt == "webp" and np.array_equal(wpix, img)
 
 
 def test_decode_determinism():
