@@ -156,6 +156,45 @@ def test_decode_image_sniffs_webp():
     assert fmt == "webp" and np.array_equal(dec, img)
 
 
+def test_max_symbol_capped_transmission():
+    """Hand-built normal-form code using the max-symbol cap (and a
+    single-symbol code-length code, which decodes with zero-bit reads) —
+    paths this repo's writer never emits but other encoders do."""
+    w = vp8l._LsbWriter()
+    w.put(0, 1)  # normal form
+    # clc: single symbol '8' with length 1; ORDER index of 8 is 13
+    order_idx = vp8l._CODE_LENGTH_ORDER.index(8)
+    num_clc = order_idx + 1
+    w.put(num_clc - 4, 4)
+    for i in range(num_clc):
+        w.put(1 if vp8l._CODE_LENGTH_ORDER[i] == 8 else 0, 3)
+    # cap: 2 + get(2 + 2*3 = 8 bits) = 256 transmitted symbols
+    w.put(1, 1)
+    w.put(3, 3)
+    w.put(254, 8)
+    # the 256 'length 8' symbols cost zero bits (single-symbol clc)
+    dec = vp8l._read_prefix_code(vp8l._LsbReader(w.flush() + b"\x00" * 4), 300)
+    # result: a complete 8-bit code over symbols 0..255 (44 zeros capped off)
+    for sym in (0, 37, 255):
+        w2 = vp8l._LsbWriter()
+        w2.put_code(sym, 8)  # canonical code for symbol s is s itself here
+        assert dec.read(vp8l._LsbReader(w2.flush() + b"\x00" * 4)) == sym
+
+
+def test_extended_container_chunk_walk():
+    """A VP8X-style header chunk before VP8L must be skipped, including
+    the odd-size padding rule."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    data = vp8l.encode_webp_lossless(img)
+    vp8l_chunk = data[12:]
+    # odd payload size: the walk must add the 1-byte alignment pad
+    extra = b"VP8X" + struct.pack("<I", 9) + b"\x00" * 9 + b"\x00"
+    body = b"WEBP" + extra + vp8l_chunk
+    full = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert np.array_equal(vp8l.decode_webp(full), img)
+
+
 # ---------------------------------------------------------------------------
 # Property tests
 # ---------------------------------------------------------------------------
