@@ -181,13 +181,27 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
 
 
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    # In-place formulation: bit-identical to the textbook expression
+    # (operand order preserved per channel — IEEE addition is
+    # commutative, so `1.402*cr + y` == `y + 1.402*cr` — but NOT
+    # reassociated), ~4x fewer large temporaries on megapixel images.
     y = ycc[..., 0]
     cb = ycc[..., 1] - 128.0
     cr = ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    out = np.empty(y.shape + (3,), dtype=np.float64)
+    r = out[..., 0]
+    np.multiply(cr, 1.402, out=r)
+    r += y
+    g = out[..., 1]
+    np.multiply(cb, 0.344136, out=g)
+    np.subtract(y, g, out=g)  # y - 0.344136*cb
+    g -= 0.714136 * cr
+    b = out[..., 2]
+    np.multiply(cb, 1.772, out=b)
+    b += y
+    np.rint(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -1156,12 +1170,14 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
 
     # Dequantize + IDCT, batched per component; coefficients are already
     # in raster block order so the plane assembles with one deblockify.
-    planes = []
-    for c in comps:
+    # Planes land directly in one (h, w, nc) buffer — a stack() here
+    # costs whole-image copies on megapixel inputs.
+    ycc = np.empty((h, w, len(comps)), dtype=np.float64)
+    for ci, c in enumerate(comps):
         qtbl = qtables[c.tq]
         zz = np.array(c.coefs, dtype=np.int64).reshape(-1, 64)
-        nat = np.zeros_like(zz)
-        nat[:, ZIGZAG] = zz  # zigzag -> natural
+        nat = np.empty_like(zz)
+        nat[:, ZIGZAG] = zz  # zigzag -> natural (a full permutation)
         deq = (nat * qtbl).astype(np.float64).reshape(-1, 8, 8)
         blocks = _DCT.T @ deq @ _DCT + 128.0  # batched IDCT
         bw = mcux * c.hs  # blocks per row
@@ -1171,9 +1187,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
         ry, rx = vmax // c.vs, hmax // c.hs
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:h, :w])
+        ycc[..., ci] = plane[:h, :w]
 
-    if len(planes) == 1:
-        gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    if len(comps) == 1:
+        gray = np.clip(np.rint(ycc[..., 0]), 0, 255).astype(np.uint8)
         return np.stack([gray, gray, gray], axis=-1)
-    return ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return ycbcr_to_rgb(ycc)

@@ -86,25 +86,36 @@ class _LsbWriter:
 
 
 class _LsbReader:
-    __slots__ = ("data", "pos", "nbits")
+    __slots__ = ("data", "pos", "nbits", "words")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
         self.nbits = len(data) * 8
+        # Precomputed little-endian 32-bit windows per byte offset: one
+        # list index replaces an int.from_bytes slice per symbol in the
+        # hot loop (this mirrors the JPEG decoder's word-peek trick).
+        # Window width 32 >= 7 offset bits + 15 max code bits; 4 pad
+        # bytes keep end-of-stream peeks in range.
+        arr = np.frombuffer(data + b"\x00\x00\x00\x00", dtype=np.uint8).astype(
+            np.uint64
+        )
+        self.words = (
+            arr[:-3]
+            | (arr[1:-2] << np.uint64(8))
+            | (arr[2:-1] << np.uint64(16))
+            | (arr[3:] << np.uint64(24))
+        ).tolist()
 
     def get(self, length: int) -> int:
-        """Read ``length`` bits LSB-first."""
+        """Read ``length`` bits LSB-first (length <= 25)."""
         if length == 0:
             return 0
         p = self.pos
         if p + length > self.nbits:
             raise ValueError("bitstream truncated")
         self.pos = p + length
-        byte0 = p >> 3
-        # gather up to 4 bytes (length <= 24 in VP8L headers/extras)
-        chunk = int.from_bytes(self.data[byte0 : byte0 + 4], "little")
-        return (chunk >> (p & 7)) & ((1 << length) - 1)
+        return (self.words[p >> 3] >> (p & 7)) & ((1 << length) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -176,9 +187,7 @@ class _PrefixDecoder:
         if self.single >= 0:
             return self.single
         p = r.pos
-        byte0 = p >> 3
-        chunk = int.from_bytes(r.data[byte0 : byte0 + 5], "little")
-        idx = (chunk >> (p & 7)) & ((1 << self.max_len) - 1)
+        idx = (r.words[p >> 3] >> (p & 7)) & ((1 << self.max_len) - 1)
         e = self.lut[idx]
         if e == 0:
             raise ValueError("bad prefix code in stream")
