@@ -41,6 +41,8 @@ from functools import lru_cache
 
 import numpy as np
 
+from .limits import check_pixel_budget
+
 # ---------------------------------------------------------------------------
 # Tables (ITU-T T.81 Annex K — part of the public spec)
 # ---------------------------------------------------------------------------
@@ -1057,6 +1059,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported component count {nc}")
             if h == 0 or w == 0:
                 raise ValueError("zero dimension")
+            # allocation guard BEFORE the dimension-sized coefficient
+            # grids below: SOF allows 65535x65535 (~100 GB of int lists)
+            # in a stream a few bytes long
+            check_pixel_budget(w, h, "JPEG SOF")
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))

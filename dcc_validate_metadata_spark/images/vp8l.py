@@ -43,6 +43,8 @@ import struct
 
 import numpy as np
 
+from .limits import check_pixel_budget
+
 # ---------------------------------------------------------------------------
 # Bit I/O — VP8L packs LSB-first within bytes
 # ---------------------------------------------------------------------------
@@ -583,10 +585,16 @@ def _predict(
             for c in range(4)
         )
     if mode == 13:  # ClampAddSubtractHalf
+        # RFC 9649 / libwebp compute a + (a - tl) / 2 with C division,
+        # which truncates TOWARD ZERO — a floor shift is off by one for
+        # negative odd deltas and the error propagates through every
+        # later prediction that reads this pixel
         out = []
         for c in range(4):
             a = _avg2(int(left[c]), int(top[c]))
-            out.append(min(255, max(0, a + ((a - int(tl[c])) >> 1))))
+            d = a - int(tl[c])
+            half = (d >> 1) if d >= 0 else -((-d) >> 1)
+            out.append(min(255, max(0, a + half)))
         return tuple(out)
     raise ValueError(f"bad predictor mode {mode}")
 
@@ -683,6 +691,10 @@ def _decode_webp_inner(data: bytes) -> np.ndarray:
     r = _LsbReader(payload[1:])
     width = r.get(14) + 1
     height = r.get(14) + 1
+    # allocation guard BEFORE the npix-sized output list and transform
+    # stages: the 14-bit fields allow 16384x16384 = 268 Mpix from a
+    # crafted header a handful of bytes long
+    check_pixel_budget(width, height, "VP8L header")
     r.get(1)  # alpha-used hint
     if r.get(3) != 0:
         raise ValueError("unknown VP8L version")

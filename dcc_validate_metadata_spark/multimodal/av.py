@@ -458,6 +458,22 @@ def _dib_frame(raw: bytes, w: int, h: int, bottom_up: bool) -> np.ndarray:
     return np.ascontiguousarray(bgr[:, :, ::-1])
 
 
+def _mjpg_frame(raw: bytes, idx: int, w: int, h: int) -> np.ndarray:
+    """Decode one MJPEG frame and enforce the AVI strf header's
+    dimensions: each frame carries its own SOF, so a clip whose frames
+    disagree with the header would otherwise yield inconsistently-shaped
+    frames silently. Raises ValueError (the per-frame error path)."""
+    from ..images.jpeg import decode_jpeg
+
+    frame = decode_jpeg(raw)
+    if frame.shape[:2] != (h, w):
+        raise ValueError(
+            f"MJPEG frame {idx} is {frame.shape[1]}x{frame.shape[0]} but "
+            f"the AVI header declares {w}x{h}"
+        )
+    return frame
+
+
 def decode_avi(data: bytes) -> tuple[list, float, int, int]:
     """Minimal RIFF/AVI reader: uncompressed 24-bit DIB ('00db') and
     Motion-JPEG ('00dc' + biCompression='MJPG', each frame an independent
@@ -467,9 +483,10 @@ def decode_avi(data: bytes) -> tuple[list, float, int, int]:
     {0, MJPG} or non-24-bit) — the caller's stub handles those."""
     frames_raw, fps, w, h, bottom_up, mode = _parse_avi(data)
     if mode == "mjpg":
-        from ..images.jpeg import decode_jpeg
-
-        return [decode_jpeg(r) for r in frames_raw], fps, w, h
+        return (
+            [_mjpg_frame(r, i, w, h) for i, r in enumerate(frames_raw)],
+            fps, w, h,
+        )
     return [_dib_frame(r, w, h, bottom_up) for r in frames_raw], fps, w, h
 
 
@@ -560,9 +577,11 @@ def _clip_decoder(data: bytes, meta: dict, fake: bool):
         try:
             frames_raw, fps, w, h, bottom_up, mode = _parse_avi(data)
             if mode == "mjpg":
-                from ..images.jpeg import decode_jpeg
-
-                return (lambda i: decode_jpeg(frames_raw[i]), len(frames_raw), fps)
+                return (
+                    lambda i: _mjpg_frame(frames_raw[i], i, w, h),
+                    len(frames_raw),
+                    fps,
+                )
             return (
                 lambda i: _dib_frame(frames_raw[i], w, h, bottom_up),
                 len(frames_raw),

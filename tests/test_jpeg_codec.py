@@ -715,3 +715,13 @@ def test_property_progressive_equals_baseline(h, w, quality, seed):
     dec_p = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality))
     dec_b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality))
     assert np.array_equal(dec_p, dec_b)
+
+
+def test_allocation_guard_sof_bomb():
+    """A tiny stream whose SOF declares 16384x16384 (268M coefficients,
+    ~multi-GB of Python lists) must fail the pixel budget BEFORE the
+    per-component coefficient grids are allocated."""
+    sof = struct.pack(">BHHB", 8, 16384, 16384, 1) + bytes([1, 0x11, 0])
+    data = b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    with pytest.raises(ValueError, match="decode budget"):
+        jpeg.decode_jpeg(data)

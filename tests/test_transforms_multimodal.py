@@ -429,3 +429,19 @@ def test_mjpeg_through_video_frames(spark):
     local = decode_avi(data)[0]
     got = np.frombuffer(rows[1]["frame_bytes"], dtype=np.uint8).reshape(16, 16, 3)
     assert np.array_equal(got, local[2])
+
+
+def test_mjpeg_frame_dims_must_match_header():
+    """An MJPEG clip whose frames disagree with the AVI strf header's
+    dimensions raises (per-frame error path) instead of silently
+    yielding inconsistently-shaped frames."""
+    import struct
+
+    from dcc_validate_metadata_spark.multimodal.av import decode_avi, encode_avi
+
+    frames = [np.zeros((24, 24, 3), dtype=np.uint8) for _ in range(2)]
+    data = bytearray(encode_avi(frames, fps=5.0, codec="mjpeg"))
+    at = data.index(b"strf") + 8  # BITMAPINFOHEADER starts after fourcc+size
+    struct.pack_into("<ii", data, at + 4, 16, 16)  # biWidth/biHeight lie
+    with pytest.raises(ValueError, match="24x24.*declares 16x16"):
+        decode_avi(bytes(data))

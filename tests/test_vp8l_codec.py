@@ -233,3 +233,42 @@ def test_property_palette_roundtrip(seed, ncolors):
     pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
     img = pal[rng.integers(0, ncolors, size=(11, 13))]
     _roundtrip(img, palette=True)
+
+
+def test_predictor13_truncates_toward_zero():
+    """RFC 9649 ClampAddSubtractHalf uses C division (truncate toward
+    zero) for (a - tl) / 2; a floor shift is off by one for negative odd
+    deltas. Fixed vectors computed by hand from the spec: a=avg2(left,
+    top)=100, tl=105 -> d=-5 -> trunc -2 -> 98 (floor would give 97)."""
+    ch = np.zeros((2, 2, 4), dtype=np.int64)
+    ch[0, 0] = 105  # top-left
+    ch[0, 1] = 100  # top
+    ch[1, 0] = 100  # left
+    assert vp8l._predict(13, ch, 1, 1, 2) == (98, 98, 98, 98)
+    ch[0, 0] = 95  # positive delta: trunc == floor -> 102 either way
+    assert vp8l._predict(13, ch, 1, 1, 2) == (102, 102, 102, 102)
+    # clamp still applies
+    ch[0, 0] = 255
+    ch[0, 1] = 0
+    ch[1, 0] = 0
+    assert vp8l._predict(13, ch, 1, 1, 2) == (0, 0, 0, 0)
+
+
+def test_mode13_roundtrip_after_trunc_fix():
+    """Encoder and decoder share _predict, so a forced-mode-13 roundtrip
+    stays exact with the truncate-toward-zero semantics."""
+    rng = np.random.default_rng(1337)
+    img = rng.integers(0, 256, size=(17, 13, 3), dtype=np.uint8)
+    _roundtrip(img, predictor_bits=2, predictor_mode=13)
+
+
+def test_allocation_guard_header_bomb():
+    """A 14-bit-max VP8L header (16384x16384 = 268 Mpix) in a ~30-byte
+    stream must be rejected by the pixel budget BEFORE any npix-sized
+    allocation — hostile rows become violation rows, not executor
+    OOMs."""
+    payload = b"\x2f" + struct.pack("<I", 0x0FFFFFFF)  # dims-1 all-ones
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="decode budget"):
+        vp8l.decode_webp(data)
