@@ -29,9 +29,9 @@ Spec-convention anchors chosen where RFC 9649 defers to implementations:
 * The color cache is updated for every emitted pixel (literals and
   backward-reference copies alike).
 
-Lossy WebP (VP8 intra coding) remains out of scope; ``decode_webp``
-rejects ``VP8 `` chunks with a clear ``ValueError`` (the validation
-pipeline maps decode errors to violation rows).
+Lossy WebP (``VP8 `` chunks, RFC 6386 intra key frames) is handled by
+the sibling from-scratch codec in images/vp8.py; ``decode_webp``
+routes the chunk there, so both WebP flavors decode for real.
 
 Reference analogue: the external ``hubCheck`` validation binary
 (``trackhubs/tasks.py``), stripped from the snapshot.
@@ -682,7 +682,11 @@ def _decode_webp_inner(data: bytes) -> np.ndarray:
             payload = body
             break
         if tag == b"VP8 ":
-            raise ValueError("lossy VP8 payload unsupported (VP8L only)")
+            # lossy WebP: a single VP8 key frame (RFC 6386), decoded by
+            # the from-scratch images/vp8.py codec; alpha (ALPH) dropped
+            from .vp8 import decode_vp8
+
+            return decode_vp8(body)
         pos += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
     if payload is None:
         raise ValueError("no VP8L chunk")

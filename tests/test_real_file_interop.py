@@ -24,8 +24,8 @@ documented white images, gray-axis consistency of achromatic regions)
 because no reference decoder exists in the sandbox. Tests skip cleanly
 when a file is absent (different base image).
 
-The system python.webp is lossy VP8 inside VP8X — asserted to be
-REJECTED with the documented error, not misparsed.
+The system python.webp is lossy VP8 inside VP8X — decoded for real by
+images/vp8.py (bit-exact vs libwebp in test_vp8_conformance).
 """
 
 from __future__ import annotations
@@ -113,9 +113,16 @@ def test_real_progressive_420_dc_scans():
     assert float(img.mean()) > 230  # white-page diagram at DC resolution
 
 
-def test_real_lossy_webp_rejected_cleanly():
+def test_real_lossy_webp_decodes():
+    """The system python.webp is third-party lossy VP8 (inside a VP8X
+    extended container with an ALPH chunk): the from-scratch RFC 6386
+    decoder must produce the real 16x16 logo. Structural asserts here;
+    bit-exactness against libwebp is pinned in test_vp8_conformance."""
     if _PY_WEBP is None:
         pytest.skip("no system python.webp")
     data = _need(_PY_WEBP)
-    with pytest.raises(ValueError, match="lossy VP8"):
-        vp8l.decode_webp(data)
+    img = vp8l.decode_webp(data)
+    assert img.shape == (16, 16, 3)
+    # the logo has real structure: dark glyph on varied background
+    assert img.std() > 20
+    assert 40 < float(img.mean()) < 220

@@ -134,9 +134,10 @@ def test_container_and_error_paths():
     assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
     (riff_size,) = struct.unpack("<I", data[4:8])
     assert riff_size + 8 == len(data)
-    # lossy VP8 chunk is rejected with a clear message
+    # a VP8 chunk routes to the lossy decoder; VP8L bytes are not a
+    # valid key frame, so it fails with the VP8 error path
     lossy = data[:12] + b"VP8 " + data[16:]
-    with pytest.raises(ValueError, match="lossy VP8"):
+    with pytest.raises(ValueError, match="VP8"):
         vp8l.decode_webp(lossy)
     with pytest.raises(ValueError):
         vp8l.decode_webp(data[: len(data) // 2])  # truncation
