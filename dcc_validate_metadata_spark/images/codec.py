@@ -37,6 +37,7 @@ import zlib
 import numpy as np
 
 from . import jpeg as _jpeg
+from . import vp8 as _vp8
 from . import vp8l as _vp8l
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -181,6 +182,13 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         # real lossless VP8L; no predictor transform (the per-pixel
         # Python inverse would dominate fixture decode cost)
         return _vp8l.encode_webp_lossless(pixels)
+    if fmt == "webp_lossy":
+        # real VP8 intra key frame; qindex 0 keeps smooth photo-like
+        # content above the 40 dB invariant, filter 0 keeps fixture
+        # decode cheap (the deblocker is conformance-tested separately)
+        return _vp8.encode_webp_vp8(
+            pixels, qindex=0, mode="auto", filter_level=0
+        )
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -894,53 +894,63 @@ def _decode_frame(data: bytes):
 # ---------------------------------------------------------------------------
 
 def _sclip1(x):
-    return np.clip(x, -128, 127)
+    # np.minimum/maximum beat np.clip noticeably on these tiny windows
+    return np.maximum(np.minimum(x, 127), -128)
 
 
 def _sclip2(x):
-    return np.clip(x, -16, 15)
+    return np.maximum(np.minimum(x, 15), -16)
+
+
+def _u8(x):
+    return np.maximum(np.minimum(x, 255), 0)
 
 
 def _filter2(seg, o, mask):
     """Common 2-pixel adjustment with outer taps (hev path of the
     normal filters, and the whole simple filter). ``seg`` is an
-    (n, 8) int32 window [p3..p0, q0..q3]; ``o`` is the p3 column."""
+    (n, 8) int32 window [p3..p0, q0..q3]; ``o`` is the p3 column.
+    ``mask`` applies the adjustment as a 0/1 multiplier — cheaper than
+    np.where at these widths and identical in result."""
+    m = mask.astype(np.int32)
     p1, p0, q0, q1 = (seg[:, o + 2], seg[:, o + 3],
                       seg[:, o + 4], seg[:, o + 5])
     a = 3 * (q0 - p0) + _sclip1(p1 - q1)
     a1 = _sclip2((a + 4) >> 3)
     a2 = _sclip2((a + 3) >> 3)
-    seg[:, o + 3] = np.where(mask, np.clip(p0 + a2, 0, 255), p0)
-    seg[:, o + 4] = np.where(mask, np.clip(q0 - a1, 0, 255), q0)
+    seg[:, o + 3] = p0 + m * (_u8(p0 + a2) - p0)
+    seg[:, o + 4] = q0 + m * (_u8(q0 - a1) - q0)
 
 
 def _filter4(seg, mask):
     """Interior (subblock) 4-pixel adjustment, no-hev path."""
+    m = mask.astype(np.int32)
     p1, p0, q0, q1 = seg[:, 2], seg[:, 3], seg[:, 4], seg[:, 5]
     a = 3 * (q0 - p0)
     a1 = _sclip2((a + 4) >> 3)
     a2 = _sclip2((a + 3) >> 3)
     a3 = (a1 + 1) >> 1
-    seg[:, 2] = np.where(mask, np.clip(p1 + a3, 0, 255), p1)
-    seg[:, 3] = np.where(mask, np.clip(p0 + a2, 0, 255), p0)
-    seg[:, 4] = np.where(mask, np.clip(q0 - a1, 0, 255), q0)
-    seg[:, 5] = np.where(mask, np.clip(q1 - a3, 0, 255), q1)
+    seg[:, 2] = p1 + m * (_u8(p1 + a3) - p1)
+    seg[:, 3] = p0 + m * (_u8(p0 + a2) - p0)
+    seg[:, 4] = q0 + m * (_u8(q0 - a1) - q0)
+    seg[:, 5] = q1 + m * (_u8(q1 - a3) - q1)
 
 
 def _filter6(seg, mask):
     """Macroblock-edge 6-pixel adjustment, no-hev path."""
+    m = mask.astype(np.int32)
     p2, p1, p0 = seg[:, 1], seg[:, 2], seg[:, 3]
     q0, q1, q2 = seg[:, 4], seg[:, 5], seg[:, 6]
     w = _sclip1(3 * (q0 - p0) + _sclip1(p1 - q1))
     a1 = (27 * w + 63) >> 7
     a2 = (18 * w + 63) >> 7
     a3 = (9 * w + 63) >> 7
-    seg[:, 1] = np.where(mask, np.clip(p2 + a3, 0, 255), p2)
-    seg[:, 2] = np.where(mask, np.clip(p1 + a2, 0, 255), p1)
-    seg[:, 3] = np.where(mask, np.clip(p0 + a1, 0, 255), p0)
-    seg[:, 4] = np.where(mask, np.clip(q0 - a1, 0, 255), q0)
-    seg[:, 5] = np.where(mask, np.clip(q1 - a2, 0, 255), q1)
-    seg[:, 6] = np.where(mask, np.clip(q2 - a3, 0, 255), q2)
+    seg[:, 1] = p2 + m * (_u8(p2 + a3) - p2)
+    seg[:, 2] = p1 + m * (_u8(p1 + a2) - p1)
+    seg[:, 3] = p0 + m * (_u8(p0 + a1) - p0)
+    seg[:, 4] = q0 + m * (_u8(q0 - a1) - q0)
+    seg[:, 5] = q1 + m * (_u8(q1 - a2) - q1)
+    seg[:, 6] = q2 + m * (_u8(q2 - a3) - q2)
 
 
 def _normal_mask(seg, interior, edge):
@@ -1092,13 +1102,33 @@ def decode_vp8_yuv(data: bytes):
     )
 
 
+def _upsample_fancy(c: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear 2x chroma upsampling with the classic (9,3,3,1)/16
+    weights (chroma centers at the 2x2 block centers), edge-replicated.
+    Purely an output-conversion choice — nearest replication on the
+    fixture's smooth gradients costs ~20 dB of PSNR."""
+    p = np.pad(c.astype(np.int32), 1, mode="edge")
+    ctr = p[1:-1, 1:-1]
+    up, dn = p[:-2, 1:-1], p[2:, 1:-1]
+    lf, rt = p[1:-1, :-2], p[1:-1, 2:]
+    ul, ur = p[:-2, :-2], p[:-2, 2:]
+    dl, dr = p[2:, :-2], p[2:, 2:]
+    ch, cw = c.shape
+    out = np.empty((ch * 2, cw * 2), dtype=np.int32)
+    out[0::2, 0::2] = (9 * ctr + 3 * (up + lf) + ul + 8) >> 4
+    out[0::2, 1::2] = (9 * ctr + 3 * (up + rt) + ur + 8) >> 4
+    out[1::2, 0::2] = (9 * ctr + 3 * (dn + lf) + dl + 8) >> 4
+    out[1::2, 1::2] = (9 * ctr + 3 * (dn + rt) + dr + 8) >> 4
+    return out[:h, :w]
+
+
 def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """BT.601 limited-range YUV 4:2:0 -> (h, w, 3) uint8 RGB with
-    2x2 chroma replication. The conversion matrix is a decoder choice
+    bilinear chroma upsampling. The conversion is a decoder choice
     (not specified by RFC 6386)."""
     h, w = y.shape
-    uu = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
-    vv = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+    uu = _upsample_fancy(u, h, w)
+    vv = _upsample_fancy(v, h, w)
     c = y.astype(np.int32) - 16
     d = uu.astype(np.int32) - 128
     e = vv.astype(np.int32) - 128

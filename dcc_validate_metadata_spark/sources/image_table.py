@@ -58,7 +58,7 @@ PARTITION_COLS = ["fmt", "bucket"]
 # Bump whenever _gen_row's OUTPUT changes (pixel content, codecs, plants):
 # every cached fixture/scale-table path embeds it, so stale /tmp tables
 # from an older content regime can never be silently reused.
-CONTENT_VERSION = 8  # v8: real VP8L webp rows (v7: real JFIF jpeg + smooth fields)
+CONTENT_VERSION = 9  # v9: webp rows split VP8L/lossy-VP8 (v8: real VP8L)
 
 _VOCAB = (
     "holstein cattle graze upland pasture sunrise over fjord trawler nets "
@@ -116,6 +116,54 @@ def _smooth_pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     return np.clip(np.rint(img), 0, 255).astype(np.uint8)
 
 
+def _chroma_smooth_pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Content for LOSSY-WEBP rows: textured luma (low-freq field +
+    sigma-2 noise, as _smooth_pixels) but chroma varying only at low
+    frequency with no per-pixel noise. VP8 is 4:2:0 — per-pixel chroma
+    noise is unrecoverable after subsampling, capping PSNR near 36 dB
+    for ANY encoder, so the >=40 dB invariant needs photo-like chroma.
+    Real corpora look like this (camera chroma is denoised/smooth);
+    the synthetic uniform-random chroma of _smooth_pixels is the 4:2:0
+    worst case, not the representative one."""
+    gy = rng.uniform(30.0, 225.0, size=(5, 5))
+    ys = np.linspace(0.0, 4.0, h)
+    xs = np.linspace(0.0, 4.0, w)
+    y0 = np.minimum(ys.astype(np.int64), 3)
+    x0 = np.minimum(xs.astype(np.int64), 3)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    Y = (
+        gy[y0][:, x0] * (1 - fy) * (1 - fx)
+        + gy[y0][:, x0 + 1] * (1 - fy) * fx
+        + gy[y0 + 1][:, x0] * fy * (1 - fx)
+        + gy[y0 + 1][:, x0 + 1] * fy * fx
+    )
+    Y = Y + rng.normal(0.0, 2.0, size=Y.shape)
+
+    def lowfreq():
+        g = rng.uniform(100.0, 156.0, size=(3, 3))
+        yy = np.linspace(0.0, 2.0, h)
+        xx = np.linspace(0.0, 2.0, w)
+        a0 = np.minimum(yy.astype(np.int64), 1)
+        b0 = np.minimum(xx.astype(np.int64), 1)
+        fa = (yy - a0)[:, None]
+        fb = (xx - b0)[None, :]
+        return (
+            g[a0][:, b0] * (1 - fa) * (1 - fb)
+            + g[a0][:, b0 + 1] * (1 - fa) * fb
+            + g[a0 + 1][:, b0] * fa * (1 - fb)
+            + g[a0 + 1][:, b0 + 1] * fa * fb
+        )
+
+    c = np.clip(np.rint(Y), 16, 235) - 16
+    d = np.rint(lowfreq()) - 128
+    e = np.rint(lowfreq()) - 128
+    r = (298 * c + 409 * e + 128) // 256
+    g = (298 * c - 100 * d - 208 * e + 128) // 256
+    b = (298 * c + 516 * d + 128) // 256
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
 def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
     rng = np.random.default_rng(seed * 1_000_003 + idx)
     slot = idx % _CYCLE
@@ -127,6 +175,17 @@ def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
 
     r = rng.random()
     fmt = "jpeg" if r < 0.80 else ("png" if r < 0.95 else "webp")
+    webp_lossy = False
+    if fmt == "webp":
+        # half the webp slice is lossy VP8 — what a real corpus's webp
+        # mostly is; lossy rows get photo-like chroma (see
+        # _chroma_smooth_pixels) from a derived stream so the main rng
+        # sequence stays undisturbed for the other columns
+        webp_lossy = bool(rng.random() < 0.5)
+        if webp_lossy:
+            pixels = _chroma_smooth_pixels(
+                np.random.default_rng(seed * 1_000_003 + idx + 0x5EED), h, w
+            )
 
     n_words = int(rng.integers(3, 13))
     caption = " ".join(_VOCAB[i] for i in rng.integers(0, len(_VOCAB), n_words))
@@ -172,7 +231,9 @@ def _gen_row(idx: int, seed: int, n_buckets: int, hw: int = 32) -> _Row:
     elif enc_fmt == "jpeg":
         data = codec.encode_image(data_pixels, "jpeg")  # real baseline JFIF
     elif enc_fmt == "webp":
-        data = codec.encode_image(data_pixels, "webp")  # real lossless VP8L
+        data = codec.encode_image(
+            data_pixels, "webp_lossy" if webp_lossy else "webp"
+        )  # real VP8 key frame / real lossless VP8L
     else:
         # lossy stand-in container carries ONLY unknown planted fmts (bmp)
         data = codec.encode_lossy(data_pixels, enc_fmt)

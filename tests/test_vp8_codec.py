@@ -81,14 +81,23 @@ def test_idct_dc_only():
 
 
 def test_roundtrip_psnr_by_quality():
-    img = _smooth((48, 48), seed=3)
+    """Lower qindex (finer quantizer) must buy PSNR on 4:2:0-friendly
+    content. Chroma must be band-limited here: per-pixel chroma noise is
+    destroyed by subsampling itself (~26 dB ceiling for ANY encoder —
+    libwebp decodes to within 0.01 dB of us on such content), which
+    would swamp the quantizer signal this test is about."""
+    from dcc_validate_metadata_spark.sources.image_table import (
+        _chroma_smooth_pixels,
+    )
+
+    img = _chroma_smooth_pixels(np.random.default_rng(3), 48, 48)
     prev = -1.0
-    for q in (80, 40, 10):
+    for q in (80, 40, 10, 0):
         _, dec = _rt(img, qindex=q, mode="auto")
         p = codec.psnr(img, dec)
-        assert p > prev - 1.5, f"qindex {q} PSNR {p} vs {prev}"
+        assert p > prev + 1.0, f"qindex {q} PSNR {p} vs {prev}"
         prev = p
-    assert prev >= 34.0, f"qindex 10 PSNR {prev}"
+    assert prev >= 43.0, f"qindex 0 PSNR {prev}"
 
 
 def test_all_16x16_modes_roundtrip():

@@ -183,3 +183,28 @@ def test_third_party_file_bit_exact():
         pytest.skip("no system python.webp")
     data = open(_PY_WEBP, "rb").read()
     _assert_yuv_exact(data, "python.webp")
+
+
+def test_rgb_output_matches_libwebp_fancy_upsampler():
+    """Full-path RGB check: yuv420_to_rgb uses libwebp's 'fancy'
+    (9,3,3,1)/16 bilinear chroma upsampler; only the final fixed-point
+    YUV->RGB matrix differs (ours is the classic 298/409/516 BT.601
+    rounding, libwebp's a 14-bit variant), worth at most 1 code."""
+    L = _LIB
+    L.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_uint8)
+    L.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    for q, shape, seed in ((30, (48, 48), 5), (75, (37, 53), 7), (90, (17, 31), 9)):
+        img = _smooth(shape, seed=seed)
+        data = _lib_encode(img, q)
+        mine = vp8.decode_vp8(_vp8_chunk(data))
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        p = L.WebPDecodeRGB(data, len(data), ctypes.byref(w), ctypes.byref(h))
+        assert p, "libwebp refused the stream"
+        ref = np.ctypeslib.as_array(p, shape=(h.value, w.value, 3)).copy()
+        L.WebPFree(ctypes.cast(p, ctypes.c_void_p))
+        maxd = np.abs(mine.astype(int) - ref.astype(int)).max()
+        assert maxd <= 1, f"q={q} {shape}: RGB maxdiff {maxd}"
