@@ -43,8 +43,8 @@ MUST_PROVE = [
     "s9d_ena_study_xml",
     "s9e_ena_analysis_xml",
     "s9f_ena_submission_xml",
-    "samples_date_unit",
-    "samples_breed_check",
+    "samples_rule_checks",  # fused: samples_date_unit + samples_breed_check
+    "s1_workbook_ingest",
     "samples_label_match",
     "rel_violations",
     # trainingdata — LLM-pipeline ops (scale paths oracle-certified)
@@ -57,7 +57,7 @@ MUST_PROVE = [
     "dd_simhash_banded",
     "dd_embedding_lsh",
     "ann_topk_bruteforce",
-    "ann_ivf_fullprobe",
+    "ann_ivf",  # mode='full' (≡ brute) + mode='probed' (literal centroids)
     "ann_lsh_recall",
     "txt_token_counts",
     "txt_token_counts_bpe",
@@ -95,10 +95,10 @@ def pytest_pack_queries() -> dict:
     """Per-op originals demoted from the driver window — still full
     (fn, oracle_sql) pairs, hash-checked by pytest and check_oracle
     --all."""
-    from . import relational, trainingdata
+    from . import relational, trainingdata, validationpack
 
     out = {}
-    for mod in (trainingdata, relational):
+    for mod in (validationpack, trainingdata, relational):
         pq = getattr(mod, "PYTEST_QUERIES", {})
         overlap = out.keys() & pq.keys()
         if overlap:

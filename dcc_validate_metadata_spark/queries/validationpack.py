@@ -28,7 +28,7 @@ from ..sources.image_table import CONTENT_VERSION  # noqa: E402
 # fixture content (AV clips, sheets, ...). Bumping the local rev rebuilds
 # the 1010-row fixture WITHOUT invalidating the 600k-row bench/scale
 # image tables (those embed CONTENT_VERSION only).
-FIXTURE_REV = 1  # rev 1: ADPCM audio + MJPEG video clips planted
+FIXTURE_REV = 2  # rev 2: + workbook ingest fixture (rev 1: ADPCM/MJPEG clips)
 FIXTURE_VERSION = f"{CONTENT_VERSION}.{FIXTURE_REV}"
 FIX_DIR = Path(
     f"/tmp/dcc_vm_fixture_n{FIXTURE_ROWS}_s{FIXTURE_SEED}_b{FIXTURE_BUCKETS}"
@@ -101,6 +101,7 @@ def ensure_fixture() -> Path:
         _write_audio_fixture(tmp)
         _write_video_fixture(tmp)
         _write_ena_fixture(tmp)
+        _write_workbook_fixture(tmp)
         _refresh_lock()
         (tmp / _MARKER).touch()
         # Finish protocol: rename FIRST, never rmtree-then-rename — a
@@ -406,6 +407,154 @@ def _faang_expected(rows: list[dict], table: str = "organism") -> list[dict]:
                     M.msg_enum(str(term), fname + "__term", tenum),
                 )
     return out
+
+
+# Workbook-ingest fixture (S1/S3/S4): sheet templates shared by the
+# Spark query (builds SheetSpec from them) and the golden writer (pure
+# Python mirror of the reference's header-resolution + projection
+# semantics, ReadExcelFile.py:140-470).
+_WB_SPECS = {
+    "samples": {
+        "core": ("sample_name", "material"),
+        "type": ("weight", "conc. corrected", "breed", "height"),
+        "mandatory": ("sample_name", "material", "height"),
+    },
+    "organism": {
+        "core": ("sample_name",),
+        "type": ("organism", "birth_date"),
+        "mandatory": ("sample_name",),
+    },
+}
+
+# header rows + body rows, exercising every messy-header path: duplicate
+# attribute ("weight" twice -> pandas-style dedup "weight.1" -> S3 issue,
+# first column wins), dotted legitimate header ("conc. corrected"),
+# blank header (column dropped with its data), sibling units/term
+# columns, ragged short rows, empty-string vs missing cells, a custom
+# (unknown) column, and a missing mandatory column ("height").
+_WB_SHEETS: dict[str, list[list[str | None]]] = {
+    "samples": [
+        ["sample_name", "material", "weight", "weight__units",
+         "conc. corrected", "breed", "breed__term", "weight", "notes",
+         "", "project"],
+        ["S01", "organism", "42.5", "kg", "1.5", "Holstein",
+         "LBO:0000156", "41.9", "first note", "ignored", "P1"],
+        ["S02", "specimen", "", "kg", "2.0", "Angus", "LBO:0000001",
+         "", "", "x", "P1"],
+        ["S03", "organism"],
+        ["S04", "organism", "38.0", "", "2.2  ", "Jersey", "",
+         "38.0", "note with ünïcode", "y", "P2"],
+        ["S05", "pool of specimens", "  ", "kg", "3", "Brahman",
+         "LBO:0000002", "x", None, "z", "P2"],
+        ["S06", "organism", "40", "lb", "", "Hereford", "LBO:0000003",
+         "40", "six", "", ""],
+    ],
+    "organism": [
+        ["sample_name", "organism", "organism__term", "birth_date",
+         "birth_date__units", "custom col"],
+        ["A1", "Bos taurus", "NCBITaxon:9913", "2021-03-01",
+         "YYYY-MM-DD", "c1"],
+        ["A2", "Sus scrofa", "NCBITaxon:9823", "2021-03", "YYYY-MM", ""],
+        ["A3", "Gallus gallus", "", "2020", "YYYY"],
+    ],
+}
+
+
+def _write_workbook_fixture(out_dir: Path) -> None:
+    """Write the ingest workbook AND an independently-computed golden of
+    its flat projection, so the driver oracle certifies S1 (xlsx cell
+    extraction), S3 (header->field resolution incl. duplicate/missing-
+    mandatory issues) and S4 (nested cell projection: empty cells ->
+    NULL structs, sibling __units/__term folding) at value level.
+
+    The golden below is a from-scratch mirror of the reference semantics
+    (conversion/ReadExcelFile.py:140-470) over the raw sheet lists — it
+    shares no code with sources/sheet_ingest or sources/xlsx readers."""
+    import re
+
+    import pandas as pd
+
+    from ..sources.xlsx import write_workbook
+
+    write_workbook(out_dir / "submission.xlsx", _WB_SHEETS)
+
+    expected: list[tuple] = []
+    for sheet, rows in _WB_SHEETS.items():
+        spec = _WB_SPECS[sheet]
+        known = set(spec["core"]) | set(spec["type"])
+        header, body = rows[0], rows[1:]
+        # S1: blank headers dropped, duplicate names deduped "x" -> "x.1"
+        cols: list[str] = []
+        keep: list[int] = []
+        seen_h: dict[str, int] = {}
+        for i, hcell in enumerate(header):
+            if hcell is None or str(hcell).strip() == "":
+                continue
+            hname = str(hcell)
+            n = seen_h.get(hname, 0)
+            seen_h[hname] = n + 1
+            cols.append(hname if n == 0 else f"{hname}.{n}")
+            keep.append(i)
+        colset = set(cols)
+        col_idx = dict(zip(cols, keep))
+        # S3: strip only the dedup suffix; first column wins per field;
+        # duplicates and missing mandatory columns become issue rows
+        resolved: dict[str, str] = {}
+        custom: list[str] = []
+        issues: list[tuple[str, str]] = []
+        seen: dict[str, list[str]] = {}
+        for cname in cols:
+            if cname.endswith(("__units", "__term")):
+                continue
+            base = re.sub(r"\.\d+$", "", cname)
+            if base in known:
+                seen.setdefault(base, []).append(cname)
+            else:
+                custom.append(cname)
+        for fld, cl in seen.items():
+            if len(cl) > 1:
+                issues.append((
+                    fld,
+                    f"There are multiple entries for attribute '{fld}' "
+                    f"in sheet '{sheet}'",
+                ))
+            resolved[fld] = cl[0]
+        for fld in spec["mandatory"]:
+            if fld not in seen:
+                issues.append((
+                    fld,
+                    f"Field '{fld}' is mandatory in sheet '{sheet}' "
+                    f"but no column was provided",
+                ))
+
+        def cell(row: list, cname: str):
+            i = col_idx.get(cname)
+            if i is None or i >= len(row):
+                return None
+            return row[i]
+
+        # S4: per-row flat projection of the nested record
+        for row in body:
+            name = cell(row, resolved["sample_name"])
+            for fld, cname in resolved.items():
+                section = "core" if fld in spec["core"] else "type"
+                v = cell(row, cname)
+                u = cell(row, cname + "__units") if cname + "__units" in colset else None
+                t = cell(row, cname + "__term") if cname + "__term" in colset else None
+                if v is not None and v.strip(" ") == "":
+                    v, u, t = None, None, None  # empty cell -> NULL struct
+                expected.append((sheet, name, section, fld, v, u, t))
+            for cname in custom:
+                expected.append(
+                    (sheet, name, "custom", cname, cell(row, cname), None, None)
+                )
+        for fld, msg in issues:
+            expected.append((sheet, sheet, "issue", fld, msg, None, None))
+
+    pd.DataFrame(
+        expected,
+        columns=["sheet", "name", "section", "field", "value", "units", "term"],
+    ).to_parquet(out_dir / "workbook_expected.parquet", index=False)
 
 
 def _write_taxon_fixture(out_dir: Path) -> None:
@@ -980,6 +1129,113 @@ WHERE NOT EXISTS (
   WHERE c.term = s.breed_term AND c.ancestor = s.breed_root
 )
 ORDER BY name
+"""
+
+
+def samples_rule_checks(spark, sf_dir):
+    """Driver-window fusion of samples_date_unit (F3 date-unit ladder)
+    and samples_breed_check (X2 graph restriction): identical
+    (name, field, severity, message) shape, disjoint ``field`` values,
+    so one slot certifies both rule families; the originals stay in
+    PYTEST_QUERIES."""
+    return (
+        samples_date_unit(spark, sf_dir)
+        .unionByName(samples_breed_check(spark, sf_dir))
+        .orderBy("field", "name")
+    )
+
+
+def _samples_rule_checks_sql() -> str:
+    date_body = SAMPLES_DATE_SQL.rsplit("ORDER BY", 1)[0]
+    breed_with, breed_select = BREED_CHECK_SQL.split("SELECT s.name", 1)
+    breed_body = "SELECT s.name" + breed_select.rsplit("ORDER BY", 1)[0]
+    return (
+        f"{breed_with.strip()}\n"
+        f"SELECT * FROM ({date_body}) \n"
+        f"UNION ALL\n"
+        f"SELECT * FROM ({breed_body})\n"
+        f"ORDER BY field, name"
+    )
+
+
+_WB_XLSX = str(FIX_DIR / "submission.xlsx")
+_WB_EXPECTED = str(FIX_DIR / "workbook_expected.parquet")
+
+
+def s1_workbook_ingest(spark, sf_dir):
+    """S1/S3/S4 driver row: read the fixture .xlsx (from-scratch OOXML
+    reader), resolve headers against the sheet templates, project nested
+    records, and flatten every cell plus every header-level issue to
+    (sheet, name, section, field, value, units, term) — hash-checked
+    against a golden computed by an independent pure-Python mirror of
+    the reference semantics (ReadExcelFile.py:140-470)."""
+    from functools import reduce
+
+    from ..sources.sheet_ingest import SheetSpec, project_records
+    from ..sources.xlsx import workbook_to_dataframes
+
+    ensure_fixture()
+    dfs = workbook_to_dataframes(spark, _WB_XLSX)
+
+    def q(ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    parts = []
+    for sheet, spec_d in _WB_SPECS.items():
+        out, res = project_records(
+            dfs[sheet],
+            SheetSpec(
+                name=sheet,
+                core_fields=spec_d["core"],
+                type_fields=spec_d["type"],
+                mandatory=spec_d["mandatory"],
+            ),
+        )
+        name = F.col("core.sample_name.value").alias("name")
+
+        def flat(section: str, fld: str):
+            base = f"{section}.{q(fld)}"
+            return out.select(
+                F.lit(sheet).alias("sheet"),
+                name,
+                F.lit(section).alias("section"),
+                F.lit(fld).alias("field"),
+                F.col(f"{base}.value").alias("value"),
+                F.col(f"{base}.units").alias("units"),
+                F.col(f"{base}.term").alias("term"),
+            )
+
+        parts += [flat("core", f) for f in res.core]
+        parts += [flat("type", f) for f in res.type_]
+        parts += [
+            out.select(
+                F.lit(sheet).alias("sheet"),
+                name,
+                F.lit("custom").alias("section"),
+                F.lit(c).alias("field"),
+                F.col(f"custom.{q(c)}").alias("value"),
+                F.lit(None).cast("string").alias("units"),
+                F.lit(None).cast("string").alias("term"),
+            )
+            for c in res.custom
+        ]
+        if res.issues:
+            parts.append(
+                spark.createDataFrame(
+                    [(sheet, sheet, "issue", f, m, None, None) for f, m in res.issues],
+                    "sheet string, name string, section string, field string, "
+                    "value string, units string, term string",
+                )
+            )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy(
+        "sheet", "name", "section", "field"
+    )
+
+
+WB_INGEST_SQL = f"""
+SELECT sheet, name, section, field, value, units, term
+FROM read_parquet('{_WB_EXPECTED}')
+ORDER BY sheet, name, section, field
 """
 
 
@@ -1779,8 +2035,15 @@ QUERIES = {
     "s9d_ena_study_xml": (s9d_ena_study_xml, S9D_ENA_STD_SQL),
     "s9e_ena_analysis_xml": (s9e_ena_analysis_xml, S9E_ENA_AN_SQL),
     "s9f_ena_submission_xml": (s9f_ena_submission_xml, S9F_ENA_SUB_SQL),
-    "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
-    "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
+    "samples_rule_checks": (samples_rule_checks, _samples_rule_checks_sql()),
+    "s1_workbook_ingest": (s1_workbook_ingest, WB_INGEST_SQL),
     "samples_label_match": (samples_label_match, LABEL_MATCH_SQL),
     "rel_violations": (rel_violations, REL_SQL),
+}
+
+# Hash-checked by tests/test_pytest_pack.py and check_oracle --all; their
+# semantics ride the driver window inside samples_rule_checks.
+PYTEST_QUERIES = {
+    "samples_date_unit": (samples_date_unit, SAMPLES_DATE_SQL),
+    "samples_breed_check": (samples_breed_check, BREED_CHECK_SQL),
 }
