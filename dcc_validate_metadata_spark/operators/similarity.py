@@ -86,17 +86,20 @@ def train_ivf_centroids(
     == by cosine).
 
     Sampling is automatic by default (``sample_fraction=None``): the
-    collect is capped at ``max_train_rows`` with an unconditional
-    ``limit`` — NO pre-count (a counted fraction cost one extra scan of
-    the embedding table per training call). ``limit`` prefers early
-    partitions; that locality bias is acceptable for coarse-quantizer
-    training (k-means over ≤1M of anything representative), and callers
-    with adversarially-sorted layouts can pass an explicit
-    ``sample_fraction`` for Bernoulli randomness (1.0 forces a full
-    collect)."""
+    global ``max_train_rows`` smallest rows by ``xxhash64(vector)`` —
+    a deterministic pseudo-random sample that is a pure function of the
+    DATA, independent of file/partition layout (a bare ``limit`` would
+    prefer early partitions, making the centroids depend on how the
+    table happened to be written). Spark plans the orderBy+limit as
+    TakeOrderedAndProject: ONE scan, no pre-count, a per-task top-K heap
+    merged at the driver — the driver-side cost is the same ≤1M-row
+    collect the training already paid. At extreme scale the per-task
+    heap (max_train_rows rows of vectors) is the bound to watch; pass an
+    explicit ``sample_fraction`` there for Bernoulli thinning instead
+    (1.0 forces a full collect)."""
     sample = emb.select(vec_col)
     if sample_fraction is None:
-        sample = sample.limit(max_train_rows)
+        sample = sample.orderBy(F.xxhash64(F.col(vec_col))).limit(max_train_rows)
     elif sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)

@@ -48,6 +48,24 @@ def test_training_runs_single_job(spark, emb):
     assert len(jobs) == 1, f"training ran {len(jobs)} jobs, expected 1: {jobs}"
 
 
+def test_default_sampling_independent_of_partition_layout(spark, emb):
+    """The capped default sample is keyed on xxhash64(vector) — a pure
+    function of the data — so rewriting the same table with any
+    partitioning/ordering must train identical centroids (the old bare
+    limit() preferred early partitions)."""
+    cap = 40  # < row count, so the cap path actually selects
+    a = train_ivf_centroids(
+        emb.repartition(1), n_lists=4, iters=3, max_train_rows=cap
+    )
+    b = train_ivf_centroids(
+        emb.orderBy("vec_id", ascending=False).repartition(13),
+        n_lists=4,
+        iters=3,
+        max_train_rows=cap,
+    )
+    assert np.allclose(a, b)
+
+
 def test_full_probe_equals_brute_force(emb, cents):
     exact = {
         (r["q_id"], r["rank"]): r["id"]
