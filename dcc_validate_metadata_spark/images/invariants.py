@@ -44,10 +44,29 @@ def _viol_schema(keep: list[str], df: DataFrame) -> str:
     return ", ".join(parts)
 
 
+def _rebalance(src: DataFrame, n: int | None) -> DataFrame:
+    """Opt-in size-skew lever for the decode stage: hash-repartition the
+    decode branch on ``image_id`` so megapixel rows that cluster in the
+    storage layout (size-sorted ingests) spread uniformly across tasks.
+    Costs one shuffle of this branch's payload — OFF by default because
+    randomly-laid-out tables already mix sizes within every input split
+    (measured in BENCH.md's size-skew section) and the shuffle would move
+    every ``bytes`` cell. The plan keeps a single bytes-reading scan: the
+    exchange sits between the scan and the Arrow stage. Batch memory is
+    independently bounded by spark.sql.execution.arrow.maxBytesPerBatch
+    (64m default), so one giant row never inflates an Arrow batch."""
+    if not n:
+        return src
+    from pyspark.sql import functions as F
+
+    return src.repartition(n, F.col("image_id"))
+
+
 def decode_check_violations(
     df: DataFrame,
     keep_cols: list[str],
     missing_msg: str | None = None,
+    rebalance: int | None = None,
 ) -> DataFrame:
     """``missing_msg``: when set, a NULL ``bytes`` cell emits this
     mandatory-presence error here — the fused column pass must NOT carry
@@ -55,7 +74,7 @@ def decode_check_violations(
     ``isNotNull`` (this branch is the only one allowed to scan ``bytes``)."""
     keep = list(keep_cols)
     needed = list(dict.fromkeys(keep + ["bytes", "w", "h", "fmt"]))
-    src = df.select(*needed)
+    src = _rebalance(df.select(*needed), rebalance)
     schema = _viol_schema(keep, df)
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,6 +123,7 @@ def fused_decode_violations(
     keep_cols: list[str],
     missing_msg: str | None = None,
     psnr_min: float = 40.0,
+    rebalance: int | None = None,
 ) -> DataFrame:
     """Structural decode checks + ground-truth invariants, one decode per
     row. Emits exactly the union of ``decode_check_violations(df, ...)``
@@ -115,7 +135,7 @@ def fused_decode_violations(
     needed = list(
         dict.fromkeys(keep + ["image_id", "bytes", "w", "h", "fmt", "caption"])
     )
-    src = df.select(*needed).join(
+    src = _rebalance(df.select(*needed), rebalance).join(
         gt.select("image_id", "gt_pixels", "gt_w", "gt_h", "gt_caption"),
         on="image_id",
         how="left",

@@ -57,6 +57,7 @@ def build_violations(
     ontology: DataFrame | None = None,
     gt: DataFrame | None = None,
     psnr_min: float = 40.0,
+    decode_rebalance: int | None = None,
 ) -> DataFrame:
     """All violation families as ONE wide pass over the fact table plus an
     Arrow decode branch — lazy except the per-unique-rule dup-size probe
@@ -176,11 +177,16 @@ def build_violations(
                 fused_decode_violations(
                     df, gt, KEEP,
                     missing_msg=binary_missing_msg, psnr_min=psnr_min,
+                    rebalance=decode_rebalance,
                 )
             )
         else:
             parts.append(
-                decode_check_violations(df, KEEP, missing_msg=binary_missing_msg)
+                decode_check_violations(
+                    df, KEEP,
+                    missing_msg=binary_missing_msg,
+                    rebalance=decode_rebalance,
+                )
             )
     return reduce(DataFrame.unionByName, parts)
 
@@ -250,6 +256,7 @@ def run_validation(
     resume: bool = True,
     with_stats: bool = False,
     drift_reference: dict | None = None,
+    decode_rebalance: int | None = None,
 ) -> ValidationResult:
     """Validate the image+caption table, writing violations + verdicts +
     manifest under ``out_dir``. With ``resume=True``, partitions recorded
@@ -345,7 +352,10 @@ def run_validation(
             verdict_rows=[],
         )
 
-    violations = build_violations(df, ruleset=ruleset, ontology=ontology, gt=gt)
+    violations = build_violations(
+        df, ruleset=ruleset, ontology=ontology, gt=gt,
+        decode_rebalance=decode_rebalance,
+    )
 
     # shuffle on (partition keys + salt), not the partition keys alone:
     # fmt is ~80% one codec, so keying the exchange on (fmt, bucket) would

@@ -480,17 +480,26 @@ def generate_image_table_distributed(
     n_buckets: int = 8,
     n_tasks: int | None = None,
     hw: int = 32,
+    hw_fn=None,
 ) -> None:
     """Executor-side generation for bench-scale tables: deterministic per
     index, encoded in parallel via ``mapInPandas`` — the shape a real 10^12
     backfill would take (no driver bottleneck, no collect). ``hw`` sets the
     square image edge; bench/scaling tables use larger images than the unit
-    fixture so per-row decode compute is realistic."""
+    fixture so per-row decode compute is realistic. ``hw_fn(idx) -> int``
+    overrides ``hw`` per row (long-tail size distributions for the
+    size-skew stress; must be deterministic in idx)."""
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [_gen_row(int(i), seed, n_buckets, hw=hw) for i in b["id"]]
+            rows = [
+                _gen_row(
+                    int(i), seed, n_buckets,
+                    hw=hw_fn(int(i)) if hw_fn is not None else hw,
+                )
+                for i in b["id"]
+            ]
             yield _rows_to_pdf(rows)
 
     (
