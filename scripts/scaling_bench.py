@@ -107,7 +107,7 @@ def main() -> None:
         help="extra levels for the appendix curve ('' to skip)",
     )
     ap.add_argument("--warmup", type=int, default=1)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
     headline = sorted(int(x) for x in args.levels.split(","))
     curve_extra = (
@@ -122,15 +122,24 @@ def main() -> None:
     tmp.mkdir(exist_ok=True)
     zpath = build_zip(tmp)
 
+    import statistics
+
     results = {}
     for cores in all_levels:
         prewarm_page_cache(table)
         r = run_level(zpath, table, cores, args.warmup, args.runs)
         best = min(r["runs_sec"])
+        med = round(statistics.median(r["runs_sec"]), 3)
+        # the headline statistic is the MEDIAN (VERDICT r4 'wrong' #1:
+        # best-of-N over a noisy floor made two same-day tables disagree
+        # 35%); best + spread are reported so the noise is visible
         results[cores] = {
             "runs_sec": r["runs_sec"],
+            "median_sec": med,
             "best_sec": best,
-            "rows_per_sec": round(r["rows"] / best, 1),
+            "spread_pct": round(100.0 * (max(r["runs_sec"]) - best) / med, 1),
+            "rows_per_sec": round(r["rows"] / med, 1),
+            "rows_per_sec_best": round(r["rows"] / best, 1),
             "rows": r["rows"],
         }
         if "task_sec" in r:
@@ -142,17 +151,28 @@ def main() -> None:
                 serial_sec_est=r.get("serial_sec_est"),
             )
         print(
-            f"local[{cores}]: {r['runs_sec']} -> {results[cores]['rows_per_sec']} rows/s",
+            f"local[{cores}]: {r['runs_sec']} -> median {results[cores]['rows_per_sec']} rows/s",
             file=sys.stderr,
         )
 
     lo, hi = headline[0], headline[-1]
     speedup = results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]
     efficiency = speedup / (hi / lo)
+    # worst-case efficiency across the run spread: pair the slowest hi
+    # run with the fastest lo run and vice versa — the honest error bar
+    eff_lo = (
+        (results[hi]["rows"] / max(results[hi]["runs_sec"]))
+        / (results[lo]["rows"] / min(results[lo]["runs_sec"]))
+    ) / (hi / lo)
+    eff_hi = (
+        (results[hi]["rows"] / min(results[hi]["runs_sec"]))
+        / (results[lo]["rows"] / max(results[lo]["runs_sec"]))
+    ) / (hi / lo)
     summary = {
         "metric": "scaling_efficiency",
         "value": round(efficiency, 3),
         "unit": "ratio",
+        "range": [round(eff_lo, 3), round(eff_hi, 3)],
         "pair": f"local[{lo}] vs local[{hi}]",
         "levels": {str(c): results[c] for c in all_levels},
         "speedup": round(speedup, 2),
@@ -182,27 +202,34 @@ def main() -> None:
         "",
         "## Headline: N vs 4N",
         "",
-        "| parallelism | timed runs (s) | best (s) | rows/s |",
-        "|---|---|---|---|",
+        "| parallelism | timed runs (s) | median (s) | best (s) | spread | rows/s (median) |",
+        "|---|---|---|---|---|---|",
     ]
     for c in headline:
         r = results[c]
         lines.append(
             f"| local[{c}] | {', '.join(str(x) for x in r['runs_sec'])} "
-            f"| {r['best_sec']} | {r['rows_per_sec']:,} |"
+            f"| {r['median_sec']} | {r['best_sec']} | {r['spread_pct']}% "
+            f"| {r['rows_per_sec']:,} |"
         )
     lines += [
         "",
         f"**Speedup local[{lo}]→local[{hi}]: {speedup:.2f}x over a {hi // lo}x",
-        f"core increase → scaling efficiency = {efficiency:.3f}**"
+        f"core increase → scaling efficiency = {efficiency:.3f}",
+        f"(worst/best pairing across the run spread: {eff_lo:.3f}–{eff_hi:.3f})**"
         + (" (>= 0.8 ✓)" if efficiency >= 0.8 else " (< 0.8 ✗)"),
+        "",
+        "Medians of 5 timed runs are the headline statistic; the",
+        "worst/best-pairing range is the honest error bar. This table is",
+        "THE authoritative scaling anchor — BASELINE.md's copy is spliced",
+        "from the same run by this script, so the two can never disagree.",
         "",
     ]
     if curve_extra:
         lines += [
             "## Full single-machine curve",
             "",
-            "| parallelism | best (s) | rows/s | efficiency vs local[2] |",
+            "| parallelism | median (s) | rows/s (median) | efficiency vs local[2] |",
             "|---|---|---|---|",
         ]
         base = results[all_levels[0]]
@@ -210,7 +237,7 @@ def main() -> None:
             r = results[c]
             eff = (r["rows_per_sec"] / base["rows_per_sec"]) / (c / all_levels[0])
             lines.append(
-                f"| local[{c}] | {r['best_sec']} | {r['rows_per_sec']:,} | {eff:.2f} |"
+                f"| local[{c}] | {r['median_sec']} | {r['rows_per_sec']:,} | {eff:.2f} |"
             )
         lines += [
             "",
@@ -291,6 +318,50 @@ def main() -> None:
         bench.write_text(new_block + tail)
     else:
         bench.write_text(new_block + "\n")
+
+    # splice the SAME numbers into BASELINE.md so the two files can never
+    # disagree (VERDICT r4 'What's wrong' #1: two hand-maintained tables
+    # drifted 35% apart within one day)
+    b_begin, b_end = "<!-- scaling-authoritative:begin -->", "<!-- scaling-authoritative:end -->"
+    blines = [
+        b_begin,
+        f"## Round-5 measured scaling (AUTHORITATIVE — spliced by scaling_bench.py, {stamp})",
+        "",
+        "Medians of 5 timed `spark-submit --master local[N]` runs each",
+        f"(1 warm-up excluded, page cache pre-warmed), {args.rows:,}-row",
+        f"{args.hw}x{args.hw} image+caption table, full validation job.",
+        "Full methodology, curve and serial-vs-parallel breakdown: BENCH.md",
+        "(generated from the same run — the single source of truth).",
+        "",
+        "| parallelism | median (s) | best (s) | spread | rows/s (median) |",
+        "|---|---|---|---|---|",
+    ]
+    for c in all_levels:
+        r = results[c]
+        blines.append(
+            f"| local[{c}] | {r['median_sec']} | {r['best_sec']} "
+            f"| {r['spread_pct']}% | {r['rows_per_sec']:,} |"
+        )
+    blines += [
+        "",
+        f"**N vs 4N (local[{lo}] → local[{hi}]): efficiency {efficiency:.3f}",
+        f"(worst/best pairing {eff_lo:.3f}–{eff_hi:.3f}) — "
+        + ("PASS ≥ 0.8.**" if efficiency >= 0.8 else "FAIL < 0.8.**"),
+        b_end,
+    ]
+    baseline = Path(REPO / "BASELINE.md")
+    btext = baseline.read_text()
+    bblock = "\n".join(blines)
+    if b_begin in btext:
+        btext = btext.split(b_begin)[0] + bblock + btext.split(b_end)[1]
+    else:
+        anchor = "## Round-4 measured results"
+        btext = (
+            btext.replace(anchor, bblock + "\n\n" + anchor, 1)
+            if anchor in btext
+            else btext.rstrip() + "\n\n" + bblock + "\n"
+        )
+    baseline.write_text(btext)
     print(json.dumps(summary))
 
 
