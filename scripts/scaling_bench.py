@@ -84,7 +84,9 @@ def run_level(zpath: Path, table: str, cores: int, warmup: int, runs: int) -> di
         str(warmup),
         str(runs),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, check=False)
+    # 1 warm-up + 5 timed runs at ~240 s (local[2], real-codec workload)
+    # plus JVM start needs ~1600 s; 4200 leaves honest headroom
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=4200, check=False)
     for line in out.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT ") :])
@@ -108,6 +110,17 @@ def main() -> None:
     )
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument(
+        "--interleave",
+        type=int,
+        default=0,
+        metavar="K",
+        help="headline mode for a noisy host: run the N/4N pair "
+        "back-to-back K times (fresh JVM each, 1 warm-up inside each), "
+        "compute the per-pair efficiency, and report the median pair — "
+        "slowly-varying external load then hits both levels of a pair "
+        "equally and cancels in the ratio",
+    )
     args = ap.parse_args()
     headline = sorted(int(x) for x in args.levels.split(","))
     curve_extra = (
@@ -124,10 +137,47 @@ def main() -> None:
 
     import statistics
 
+    pair_effs: list[float] = []
+    if args.interleave:
+        # interleaved headline: K adjacent (lo, hi) pairs, fresh JVM per
+        # leg; per-pair efficiency cancels slowly-varying host noise
+        lo, hi = headline[0], headline[-1]
+        runs_acc: dict[int, list[float]] = {lo: [], hi: []}
+        task_acc: dict[int, list] = {lo: [], hi: []}
+        for k in range(args.interleave):
+            pair_t: dict[int, float] = {}
+            for cores in (lo, hi):
+                prewarm_page_cache(table)
+                r = run_level(zpath, table, cores, args.warmup, 1)
+                pair_t[cores] = r["runs_sec"][0]
+                runs_acc[cores].append(r["runs_sec"][0])
+                if "task_sec" in r:
+                    task_acc[cores].append(
+                        (r["task_sec"][0], r.get("effective_parallelism"),
+                         r.get("serial_sec_est"))
+                    )
+            eff_k = (pair_t[lo] / pair_t[hi]) / (hi / lo)
+            pair_effs.append(round(eff_k, 3))
+            print(
+                f"pair {k + 1}/{args.interleave}: local[{lo}] {pair_t[lo]}s, "
+                f"local[{hi}] {pair_t[hi]}s -> eff {eff_k:.3f}",
+                file=sys.stderr,
+            )
+
     results = {}
     for cores in all_levels:
-        prewarm_page_cache(table)
-        r = run_level(zpath, table, cores, args.warmup, args.runs)
+        if args.interleave and cores in headline:
+            rows_n = 600_000 if args.rows is None else args.rows
+            r = {"runs_sec": runs_acc[cores], "rows": rows_n}
+            if task_acc[cores]:
+                ts = [t[0] for t in task_acc[cores]]
+                r["task_sec"] = ts
+                best_j = r["runs_sec"].index(min(r["runs_sec"]))
+                r["effective_parallelism"] = task_acc[cores][best_j][1]
+                r["serial_sec_est"] = task_acc[cores][best_j][2]
+        else:
+            prewarm_page_cache(table)
+            r = run_level(zpath, table, cores, args.warmup, args.runs)
         best = min(r["runs_sec"])
         med = round(statistics.median(r["runs_sec"]), 3)
         # the headline statistic is the MEDIAN (VERDICT r4 'wrong' #1:
@@ -158,6 +208,12 @@ def main() -> None:
     lo, hi = headline[0], headline[-1]
     speedup = results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]
     efficiency = speedup / (hi / lo)
+    if pair_effs:
+        # the headline becomes the median per-pair efficiency: adjacent
+        # pairs see the same host load, so the ratio is robust to the
+        # 30-40% slow drift the level medians cannot cancel
+        efficiency = statistics.median(pair_effs)
+        speedup = efficiency * (hi / lo)
     # worst-case efficiency across the run spread: pair the slowest hi
     # run with the fastest lo run and vice versa — the honest error bar
     eff_lo = (
@@ -173,6 +229,7 @@ def main() -> None:
         "value": round(efficiency, 3),
         "unit": "ratio",
         "range": [round(eff_lo, 3), round(eff_hi, 3)],
+        "pair_efficiencies": pair_effs or None,
         "pair": f"local[{lo}] vs local[{hi}]",
         "levels": {str(c): results[c] for c in all_levels},
         "speedup": round(speedup, 2),
@@ -196,9 +253,9 @@ def main() -> None:
         f"rows, {args.hw}x{args.hw} RGB, fmt skewed ~80% jpeg, ~76 scan",
         "tasks). Each parallelism level is its own",
         "`spark-submit --master local[N] --py-files engine.zip` process (the",
-        f"north-rule launch mode); {args.warmup} warm-up run(s) excluded; best",
-        f"of {args.runs} timed runs (page cache pre-warmed, so disk I/O is",
-        "excluded at every level equally).",
+        f"north-rule launch mode); {args.warmup} warm-up run(s) excluded;",
+        "median of the listed timed runs is the headline statistic (page",
+        "cache pre-warmed, so disk I/O is excluded at every level equally).",
         "",
         "## Headline: N vs 4N",
         "",
@@ -219,10 +276,26 @@ def main() -> None:
         f"(worst/best pairing across the run spread: {eff_lo:.3f}–{eff_hi:.3f})**"
         + (" (>= 0.8 ✓)" if efficiency >= 0.8 else " (< 0.8 ✗)"),
         "",
-        "Medians of 5 timed runs are the headline statistic; the",
-        "worst/best-pairing range is the honest error bar. This table is",
-        "THE authoritative scaling anchor — BASELINE.md's copy is spliced",
-        "from the same run by this script, so the two can never disagree.",
+    ]
+    if pair_effs:
+        lines += [
+            f"Per-pair efficiencies (adjacent local[{lo}]/local[{hi}] runs,",
+            "fresh JVM per leg, 1 warm-up inside each): "
+            + ", ".join(f"{e:.3f}" for e in pair_effs)
+            + f" → **median {efficiency:.3f}**.",
+            "",
+            "Why pairs: this host's CPU supply drifts (task-SECONDS for",
+            "identical work vary up to ~40% between runs half an hour",
+            "apart — external contention, not the engine). Adjacent pairs",
+            "see the same load, so the ratio cancels the drift that level",
+            "medians cannot; the per-pair spread above is the honest",
+            "residual error bar.",
+            "",
+        ]
+    lines += [
+        "This table is THE authoritative scaling anchor — BASELINE.md's",
+        "copy is spliced from the same run by this script, so the two can",
+        "never disagree.",
         "",
     ]
     if curve_extra:
@@ -327,7 +400,7 @@ def main() -> None:
         b_begin,
         f"## Round-5 measured scaling (AUTHORITATIVE — spliced by scaling_bench.py, {stamp})",
         "",
-        "Medians of 5 timed `spark-submit --master local[N]` runs each",
+        "Medians of the timed `spark-submit --master local[N]` runs",
         f"(1 warm-up excluded, page cache pre-warmed), {args.rows:,}-row",
         f"{args.hw}x{args.hw} image+caption table, full validation job.",
         "Full methodology, curve and serial-vs-parallel breakdown: BENCH.md",
@@ -347,8 +420,18 @@ def main() -> None:
         f"**N vs 4N (local[{lo}] → local[{hi}]): efficiency {efficiency:.3f}",
         f"(worst/best pairing {eff_lo:.3f}–{eff_hi:.3f}) — "
         + ("PASS ≥ 0.8.**" if efficiency >= 0.8 else "FAIL < 0.8.**"),
-        b_end,
     ]
+    if pair_effs:
+        blines += [
+            "",
+            "Headline statistic = median of per-pair efficiencies from",
+            f"adjacent local[{lo}]/local[{hi}] runs ("
+            + ", ".join(f"{e:.3f}" for e in pair_effs)
+            + ") — adjacent pairs cancel this host's slow CPU-supply",
+            "drift (task-seconds for identical work vary up to ~40%",
+            "between sessions; see BENCH.md).",
+        ]
+    blines.append(b_end)
     baseline = Path(REPO / "BASELINE.md")
     btext = baseline.read_text()
     bblock = "\n".join(blines)
